@@ -1,0 +1,180 @@
+"""N-Triples/N-Quads parse + format on Spark.
+
+Two paths for each direction:
+
+- **JVM path** (`parse_nt_expr`, `format_nt_expr`): built-in Catalyst
+  expressions (regexp / concat / when) — whole-stage-codegen'd, zero Python.
+  Formatting on this path is Turtle-mode (non-ASCII kept raw,
+  ref: TurtleUtils.scala:100-140 turtle branch).
+- **exact path** (`parse_nt_lines`, `format_nt_exact`): Arrow-batched
+  pandas execution of the *same pure-Python oracle functions* the tests
+  use (oracle.parse_nt_line / oracle.format_nt_line), for byte-exact
+  N-Triples-mode semantics incl. \\uXXXX escapes.
+
+Reference: parser Quad.scala:189-265; formatter TerseBuilder.scala:10-82.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..oracle import XSD_STRING, PyQuad, format_nt_line, parse_nt_line
+
+QUAD_FIELDS = ["subject", "predicate", "obj", "datatype", "language", "graph", "dataset"]
+QUAD_SCHEMA = StructType([StructField(f, StringType(), True) for f in QUAD_FIELDS])
+# 5-field identity — graph/dataset excluded (ref: Quad.scala:79-93)
+QUAD_IDENTITY = ["subject", "predicate", "obj", "datatype", "language"]
+
+
+# ---------------------------------------------------------------------------
+# exact parse: mapInPandas over a `line` column
+# ---------------------------------------------------------------------------
+
+
+def parse_nt_lines(lines_df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse a DataFrame of raw N-Triples/N-Quads lines into the quad table.
+
+    Comments/blank/malformed lines are skipped (skip-with-warning semantics,
+    QuadReader.scala:178-179 — counts observable as input minus output).
+    Runs as mapInPandas: Arrow batches in, no per-row Python UDF calls from
+    the JVM side, no shuffle.
+    """
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf[line_col]:
+                q = parse_nt_line(line) if isinstance(line, str) else None
+                if q is not None:
+                    rows.append((q.subject, q.predicate, q.obj, q.datatype,
+                                 q.language, q.graph, q.dataset))
+            yield pd.DataFrame(rows, columns=QUAD_FIELDS)
+
+    return lines_df.mapInPandas(_parse, QUAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JVM parse: regexp-based fast path (benchmarkable, codegen'd)
+# ---------------------------------------------------------------------------
+
+_URI = r"<([^>]*)>"
+_LIT = r'"((?:[^"\\]|\\.)*)"'
+_TRIPLE_RE = (
+    r"^\s*" + _URI + r"\s+" + _URI + r"\s+"
+    r"(?:" + _URI + r"|" + _LIT + r"(?:@([a-z][a-z0-9-]*)|\^\^" + _URI + r")?)"
+    r"(?:\s+" + _URI + r")?\s*\.\s*$"
+)
+
+
+def parse_nt_expr(lines_df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Pure-Catalyst parse (regexp_extract chain). Literal unescaping is NOT
+    applied on this path (lexical forms kept raw) — use parse_nt_lines for
+    exact semantics; this path is for scan-speed benches over clean data."""
+    c = F.col(line_col)
+    g = lambda i: F.regexp_extract(c, _TRIPLE_RE, i)  # noqa: E731
+    matched = c.rlike(_TRIPLE_RE)
+    uri_obj = g(3)
+    lit = g(4)
+    lang = g(5)
+    dtype = g(6)
+    graph = g(7)
+    out = (
+        lines_df.where(matched)
+        .select(
+            g(1).alias("subject"),
+            g(2).alias("predicate"),
+            F.when(uri_obj != "", uri_obj).otherwise(lit).alias("obj"),
+            F.when(uri_obj != "", F.lit(None).cast("string"))
+            .when(lang != "", F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+            .when(dtype != "", dtype)
+            .otherwise(F.lit(XSD_STRING))
+            .alias("datatype"),
+            F.when(lang != "", lang).cast("string").alias("language"),
+            F.when(graph != "", graph).cast("string").alias("graph"),
+            F.lit(None).cast("string").alias("dataset"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# format: JVM expression path (turtle-mode escaping) + exact pandas path
+# ---------------------------------------------------------------------------
+
+
+def _escape_expr(col: Column) -> Column:
+    """Turtle-mode literal escape with built-ins: \\ " \n \r \t
+    (ref: TurtleUtils.scala:100-140, turtle branch keeps non-ASCII raw)."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    c = F.regexp_replace(c, "\t", "\\\\t")
+    return c
+
+
+def format_nt_expr(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
+    """Quad table -> one `line` column, entirely in Catalyst expressions.
+
+    Dispatch (TripleFormatter.scala:18-20): URI object when datatype is null;
+    lang literal; typed literal with xsd:string omitted
+    (TerseBuilder.scala:44-48). Bad URIs comment the line out with `# `
+    (TerseBuilder.scala:23). Graph appended only in quads mode (:51-60).
+    """
+    uri_ok = lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://\S+$")  # noqa: E731
+    s, p, o, dt, lang, gr = (F.col(x) for x in
+                             ["subject", "predicate", "obj", "datatype", "language", "graph"])
+    obj_part = (
+        F.when(dt.isNull(), F.concat(F.lit("<"), o, F.lit(">")))
+        .when(lang.isNotNull(),
+              F.concat(F.lit('"'), _escape_expr(o), F.lit('"@'), lang))
+        .when(dt == XSD_STRING, F.concat(F.lit('"'), _escape_expr(o), F.lit('"')))
+        .otherwise(F.concat(F.lit('"'), _escape_expr(o), F.lit('"^^<'), dt, F.lit(">")))
+    )
+    line = F.concat(F.lit("<"), s, F.lit("> <"), p, F.lit("> "), obj_part)
+    if quads_mode:
+        line = F.when(gr.isNotNull(), F.concat(line, F.lit(" <"), gr, F.lit(">"))).otherwise(line)
+    line = F.concat(line, F.lit(" ."))
+    bad = (
+        ~uri_ok(s) | ~uri_ok(p)
+        | (dt.isNull() & ~uri_ok(o))
+        | (dt.isNotNull() & lang.isNull() & (dt != XSD_STRING) & ~uri_ok(dt))
+    )
+    if quads_mode:
+        bad = bad | (gr.isNotNull() & ~uri_ok(gr))
+    return quads.select(
+        F.when(bad, F.concat(F.lit("# "), line)).otherwise(line).alias("line")
+    )
+
+
+def format_nt_exact(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
+    """Byte-exact N-Triples formatting (incl. \\uXXXX non-ASCII escapes) via
+    the shared oracle function, Arrow-batched."""
+
+    def _fmt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = [
+                format_nt_line(
+                    PyQuad(r.subject, r.predicate, r.obj,
+                           None if pd.isna(r.datatype) else r.datatype,
+                           None if pd.isna(r.language) else r.language,
+                           None if pd.isna(r.graph) else r.graph),
+                    quads_mode=quads_mode,
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame({"line": lines})
+
+    return quads.mapInPandas(_fmt, StructType([StructField("line", StringType())]))
+
+
+def dedup_quads_df(quads: DataFrame) -> DataFrame:
+    """Global dedup on the 5-field identity (ref: Quad.scala:79-93;
+    DeduplicatingDestination.scala:10-24 — Spark's shuffle dedup is the
+    global, stronger form)."""
+    return quads.dropDuplicates(QUAD_IDENTITY)

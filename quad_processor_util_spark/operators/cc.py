@@ -1,0 +1,90 @@
+"""Connected components by iterative joins (large-star / small-star style),
+for surface-form canonicalization over the alias graph.
+
+The reference resolves redirects/sameAs with driver-side hash maps
+(solr/SolrLoader.scala:41-84,176-197) — fine at 8 GB heap, impossible at
+10^12 rows. Here: alternating min-label propagation as pure DataFrame joins
+(the Kiveris et al. "Connected Components in MapReduce" shape), converging in
+O(log n) rounds, each round one shuffle on the node id. localCheckpoint
+truncates lineage so plans stay flat across iterations.
+
+Canonical = lexicographic MIN IRI of each component (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src_iri",
+    dst: str = "dst_iri",
+    max_iter: int = 20,
+) -> DataFrame:
+    """-> DataFrame(node STRING, canonical STRING): one row per node that
+    appears in any edge; canonical is the component's min IRI (which may be
+    the node itself)."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    # undirected closure: both directions, so min propagates either way
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # labels: every node starts labeled with min(self, min neighbor)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # propagate: node's new label = min(own, min over neighbors' labels)
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+            .select(F.col("a").alias("node"), "nlabel")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("canonical"))
+
+
+def canonical_mapping(
+    alias_edges: DataFrame,
+    src: str = "src_iri",
+    dst: str = "dst_iri",
+    kind: str = "edge_kind",
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Split alias edges into equivalences (redirect/sameAs -> CC) and
+    disambiguation sources (-> excluded set, the anti-join side,
+    SolrLoader.scala:124-127). Returns (mapping(node, canonical), excluded(iri))."""
+    equiv = alias_edges.where(F.col(kind) != "disambiguation")
+    excluded = (
+        alias_edges.where(F.col(kind) == "disambiguation")
+        .select(F.col(src).alias("iri"))
+        .distinct()
+    )
+    mapping = connected_components(equiv, src, dst, max_iter)
+    return mapping, excluded

@@ -1,0 +1,292 @@
+"""Deduplication family for the training-data pipeline — exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine. All hot paths are pure Catalyst
+expressions (explode/groupBy/joins); no Python per row anywhere.
+
+Scale notes (100 TB stance):
+- exact: one shuffle on the 128-bit fingerprint; map-side partial agg.
+- minhash: shingle explode -> ONE groupBy computing all K signatures
+  (K aggs, map-side combine), band explode (B small) -> groupBy band bucket.
+  Candidate verification is an equi-join on doc ids, never a cross join.
+- simhash: token explode -> one groupBy with 64 bit-sum aggs -> band join.
+- jaccard: shingle-inverted-index self-join (prefix-filtered) — the only
+  quadratic risk is within a shingle bucket; hot shingles are dropped by a
+  document-frequency cap (stopword shingles contribute nothing to identity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each normalized-text fingerprint
+    (hash-groupBy; the LinkedHashSet dedup of DeduplicatingDestination.scala
+    :10-24 made global)."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    keep = df.select(fp, F.col(id_col)).groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash + jaccard)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles (distinct), pure expressions."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _perm_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p — seeded,
+    no runtime randomness."""
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+            for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (id_col, mh_0..mh_{K-1}): one explode + ONE groupBy with K min-aggs
+    (map-side combine makes this a single shuffle of K longs per doc)."""
+    coeffs = _perm_coeffs(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    h = F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a % (1 << 31)) + F.lit(b % (1 << 31)), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature into `bands` buckets; docs sharing any band bucket
+    are candidates. -> (id_a, id_b) with id_a < id_b, distinct."""
+    mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    rows_per_band = len(mh_cols) // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> banded candidates -> exact
+    Jaccard verification on candidates only -> connected groups collapsed to
+    min id. Returns the deduplicated df."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    verified = ngram_jaccard_pairs_from_candidates(
+        df, cands, text_col, id_col, shingle_n, threshold
+    )
+    return collapse_duplicate_pairs(df, verified, id_col)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold via shingle inverted index:
+    explode -> self-join on shingle -> count intersections -> sizes join ->
+    |A∩B| / (|A|+|B|-|A∩B|). Shingles appearing in > max_shingle_df docs are
+    dropped (df-cap — the skew guard). -> (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
+        F.col("__df") > max_shingle_df
+    )
+    sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "__sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def ngram_jaccard_pairs_from_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard restricted to candidate (id_a, id_b) pairs — the verify
+    step after LSH blocking. Shingle sets joined in as arrays, intersection
+    via array ops (no explode; candidate count is small by construction)."""
+    sets_df = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__set")
+    )
+    out = (
+        candidates.join(sets_df.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")), "id_a")
+        .join(sets_df.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.size(F.array_intersect("__sa", "__sb"))
+                / F.size(F.array_union("__sa", "__sb"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def collapse_duplicate_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop the higher id of every duplicate pair (transitively: anything
+    that is the b-side of any surviving pair goes; the min-id representative
+    of each dup cluster survives because it is never anyone's id_b with a
+    smaller partner)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: token explode -> one groupBy with `bits` signed bit
+    sums -> sign bits packed back into a long. -> (id_col, simhash)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("__t"),
+    )
+    h = F.xxhash64("__t")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return sums.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: split the 64-bit signature into `bands` chunks;
+    pairs agreeing on any chunk are candidates (catches hamming <= bands-1
+    guaranteed), then filter exact hamming via bit_count(xor)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    banded = sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.band").alias("band"), F.col("c.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,179 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  query side is broadcast (queries << corpus), the corpus side streams: one
+  broadcast-nested-loop with a codegen'd dot product (F.zip_with +
+  F.aggregate — no Python), then a per-query top-k window.
+- ``lsh_topk``: the scale path — random-hyperplane LSH bucketing (seeded,
+  deterministic): corpus and queries hashed to sign-pattern buckets, candidates
+  joined per bucket across `tables` independent hash tables, exact re-rank on
+  candidates only. Recall < 1, cost ~ bucket size instead of corpus size.
+- ``embedding_cosine_dedup``: near-dup pairs above a cosine threshold via the
+  same bucketing (self-join), for the dedup family.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, pure expressions
+    (cast to double for a stable accumulation order)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self) ->
+    (query_id, rank, neighbor_id, cosine_sim). Queries broadcast; ties broken
+    by neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+def _hyperplanes(dim: int, planes: int, tables: int, seed: int) -> list[list[list[float]]]:
+    rnd = random.Random(seed)
+    return [
+        [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+        for _ in range(tables)
+    ]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each hyperplane, packed to a long."""
+    total = F.lit(0).cast("long")
+    for i, pl in enumerate(planes):
+        arr = F.array(*[F.lit(w) for w in pl])
+        bit = F.when(_dot(F.transform(vec, lambda x: x.cast("double")), arr) >= 0, 1).otherwise(0)
+        total = total + bit.cast("long") * F.lit(1 << i).cast("long")
+    return total
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (id, vec, table, bucket) exploded over `tables` hash tables."""
+    hp = _hyperplanes(dim, planes, tables, seed)
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("table"), _bucket_expr(F.col(vec_col), hp[t]).alias("bucket"))
+        for t in range(tables)
+    ])
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("tb")
+    ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates across tables, exact cosine
+    re-rank on the candidate set only."""
+    cb = lsh_buckets(corpus, dim, id_col, vec_col, planes, tables, seed)
+    qb = lsh_buckets(queries, dim, id_col, vec_col, planes, tables, seed)
+    cands = (
+        cb.alias("c")
+        .join(
+            qb.alias("q").withColumnRenamed(id_col, "query_id").withColumnRenamed(vec_col, "__qv"),
+            ["table", "bucket"],
+        )
+        .where(F.col(f"c.{id_col}") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.col("__qv"),
+            F.col(f"c.{vec_col}").alias("__cv"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+def embedding_cosine_dedup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate (id_a, id_b, cosine_sim) pairs above threshold via
+    hyperplane-bucket self-join. More tables / fewer planes -> higher recall."""
+    b = lsh_buckets(df, dim, id_col, vec_col, planes, tables, seed)
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), ["table", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,590 @@
+"""Pure-Python reference semantics for dbpedia/quad-processor-util.
+
+This module reimplements, from the reference's observable behavior, the
+scalar semantics the engine must reproduce:
+
+- N-Triples/N-Quads line parsing        (ref: Quad.scala:189-265, `Quad.unapply`)
+- Turtle/NT escape + unescape           (ref: utils/TurtleUtils.scala:51-140)
+- lenient URI percent-decode            (ref: uri/UriDecoder.java:41-102)
+- wikiEncode / cleanSpace               (ref: utils/WikiUtil.scala:26-31,56-102)
+- DBpedia IRI minting                   (ref: utils/UriUtils.scala:61-138)
+- N-Triples/N-Quads formatting          (ref: formatters/TerseBuilder.scala:10-82)
+- 5-field quad identity                 (ref: Quad.scala:79-93,114-124)
+- mention detection w/ overlap policies (ref: solr/SolrHandler.java:367-512)
+- relation extraction over transcripts  (the pipeline's extraction semantics)
+- union-find canonicalization oracle    (ref: solr/SolrLoader.scala:41-84,176-197)
+
+Everything here is plain Python over plain strings so the very same functions
+run (a) inside vectorized pandas UDFs on executors and (b) inside pytest as
+the oracle — parity is structural, not coincidental (SURVEY.md §5, Stage 2).
+
+NO Spark imports in this module.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+DBR = "http://dbpedia.org/resource/"
+EX = "http://example.org/ontology/"
+
+# ---------------------------------------------------------------------------
+# Turtle / N-Triples escaping (ref: utils/TurtleUtils.scala:100-140)
+# ---------------------------------------------------------------------------
+
+_NT_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def nt_escape(s: str, turtle: bool = False) -> str:
+    """Escape a literal for N-Triples output.
+
+    N-Triples mode (turtle=False): backslash-family escapes plus \\uXXXX /
+    \\UXXXXXXXX for every char above 0x7E. Turtle mode keeps non-ASCII raw.
+    (ref: TurtleUtils.scala:100-140)
+    """
+    out = []
+    for ch in s:
+        esc = _NT_ESCAPES.get(ch)
+        if esc is not None:
+            out.append(esc)
+        elif ch < " ":
+            out.append("\\u%04X" % ord(ch))
+        elif not turtle and ord(ch) > 0x7E:
+            cp = ord(ch)
+            out.append("\\u%04X" % cp if cp <= 0xFFFF else "\\U%08X" % cp)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_UNESCAPE_RE = re.compile(
+    r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[tbnrf\"'\\])"
+)
+
+
+def nt_unescape(s: str) -> str:
+    """Inverse of nt_escape incl. \\u / \\U hex (ref: TurtleUtils.scala:51-90)."""
+    simple = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+              '"': '"', "'": "'", "\\": "\\"}
+
+    def repl(m: re.Match) -> str:
+        g = m.group(1)
+        if g[0] in "uU":
+            return chr(int(g[1:], 16))
+        return simple[g]
+
+    return _UNESCAPE_RE.sub(repl, s)
+
+
+# ---------------------------------------------------------------------------
+# Lenient percent-decode (ref: uri/UriDecoder.java:41-102)
+# ---------------------------------------------------------------------------
+
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def percent_decode_lenient(s: str) -> str:
+    """Decode %XX UTF-8 sequences; malformed sequences pass through verbatim;
+    '+' is NOT treated as space (ref: UriDecoder.java:41-102)."""
+    out = bytearray()
+    i, n = 0, len(s)
+    raw = s.encode("utf-8")
+    i = 0
+    n = len(raw)
+    while i < n:
+        b = raw[i]
+        if b == 0x25 and i + 2 < n and chr(raw[i + 1]) in _HEX and chr(raw[i + 2]) in _HEX:
+            out.append(int(raw[i + 1 : i + 3].decode("ascii"), 16))
+            i += 3
+        else:
+            out.append(b)
+            i += 1
+    return out.decode("utf-8", errors="replace")
+
+
+def decode_to_fixpoint(s: str, max_iters: int = 5) -> str:
+    """Repeated lenient decode until stable (ref: UriUtils.scala:133-138
+    decode-until-fixpoint loop), iteration-capped."""
+    for _ in range(max_iters):
+        d = percent_decode_lenient(s)
+        if d == s:
+            return s
+        s = d
+    return s
+
+
+# ---------------------------------------------------------------------------
+# wikiEncode / cleanSpace / IRI minting
+# (ref: utils/WikiUtil.scala:26-31,56-102; utils/UriUtils.scala:61-138)
+# ---------------------------------------------------------------------------
+
+_WS_UNDERSCORE_RE = re.compile(r"[\s_]+")
+# chars percent-escaped by wikiEncode (ref: WikiUtil.scala:56-102 escape set)
+_WIKI_ESCAPE_CHARS = set('"#%<>?[\\]^`{|}')
+
+
+def clean_space(s: str) -> str:
+    """Collapse whitespace/underscore runs to one space, trim
+    (ref: WikiUtil.scala:26-31)."""
+    return _WS_UNDERSCORE_RE.sub(" ", s).strip()
+
+
+def wiki_encode(s: str) -> str:
+    """Surface form -> wiki-style IRI local name: collapse space family to
+    single underscores, percent-escape the reserved set as UTF-8 %XX
+    (ref: WikiUtil.scala:56-102)."""
+    s = clean_space(s).replace(" ", "_")
+    out = []
+    for ch in s:
+        if ch in _WIKI_ESCAPE_CHARS or ord(ch) < 0x20:
+            out.extend("%%%02X" % b for b in ch.encode("utf-8"))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_NO_UPPER_FIRST = set("\u00df\ufb01\ufb02")  # ß ﬁ ﬂ — ligature-safe capitalize
+
+
+def capitalize_first(s: str) -> str:
+    """Uppercase the first char unless it is a ligature/ß
+    (ref: utils/RichString.scala:48-53)."""
+    if not s or s[0] in _NO_UPPER_FIRST:
+        return s
+    return s[0].upper() + s[1:]
+
+
+def mint_dbpedia_iri(surface: str) -> str:
+    """Canonical DBpedia-style IRI from a surface form: decode-to-fixpoint,
+    clean space family, capitalize first, wikiEncode
+    (ref: UriUtils.scala:61-98 toDbpediaUri + WikiUtil wikiEncode)."""
+    s = decode_to_fixpoint(surface)
+    s = clean_space(s)
+    s = capitalize_first(s)
+    return DBR + wiki_encode(s)
+
+
+_ABS_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://\S+$")
+
+
+def is_absolute_uri(s: str) -> bool:
+    """Absolute-URI test used by the bad-URI guard
+    (ref: formatters/UriTripleBuilder.scala:19-30, Quad.scala:126-129)."""
+    return bool(s) and bool(_ABS_URI_RE.match(s)) and ">" not in s and "<" not in s
+
+
+# ---------------------------------------------------------------------------
+# Quad record + 5-field identity (ref: Quad.scala:31-39,79-93)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PyQuad:
+    """The reference's 7-field string record (ref: Quad.scala:31-39)."""
+
+    subject: str
+    predicate: str
+    obj: str
+    datatype: str | None = None
+    language: str | None = None
+    graph: str | None = None
+    dataset: str | None = None
+
+    def identity(self) -> tuple:
+        """5-field identity — graph/dataset excluded (ref: Quad.scala:79-93,
+        comment :91; hashCode :114-124)."""
+        return (self.subject, self.predicate, self.obj, self.datatype, self.language)
+
+
+# ---------------------------------------------------------------------------
+# Line parser (ref: Quad.scala:189-265, `Quad.unapply`)
+# ---------------------------------------------------------------------------
+
+_LANG_RE = re.compile(r"[a-z][a-z0-9-]*")
+
+
+class _Scanner:
+    __slots__ = ("s", "i", "n")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+        self.n = len(s)
+
+    def skip_ws(self) -> None:
+        while self.i < self.n and self.s[self.i] in " \t":
+            self.i += 1
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < self.n else ""
+
+    def uri(self) -> str | None:
+        # `<...>` with no `>` escaping (ref: Quad.scala:278-282)
+        if self.peek() != "<":
+            return None
+        j = self.s.find(">", self.i + 1)
+        if j < 0:
+            return None
+        u = self.s[self.i + 1 : j]
+        self.i = j + 1
+        return u
+
+    def literal(self) -> str | None:
+        # quoted literal, backslash skip-ahead (ref: Quad.scala:216-220)
+        if self.peek() != '"':
+            return None
+        i = self.i + 1
+        while i < self.n:
+            c = self.s[i]
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                lit = self.s[self.i + 1 : i]
+                self.i = i + 1
+                return lit
+            i += 1
+        return None
+
+
+def parse_nt_line(line: str) -> PyQuad | None:
+    """Parse one N-Triples/N-Quads line to a PyQuad, or None for
+    comment/blank/malformed (malformed = skip-with-warning, never fatal;
+    ref: Quad.scala:189-265 + QuadReader.scala:178-179).
+
+    Grammar: `<s> <p> (<o> | "lit"(@lang | ^^<dt>)?) (<g>)? .`
+    Defaults: bare literal -> xsd:string (Quad.scala:224); @lang ->
+    rdf:langString (Quad.scala:241); URI object -> datatype None (Quad.scala:19).
+    """
+    t = line.strip()
+    if not t or t.startswith("#"):
+        return None
+    sc = _Scanner(t)
+    subj = sc.uri()
+    if subj is None:
+        return None
+    sc.skip_ws()
+    pred = sc.uri()
+    if pred is None:
+        return None
+    sc.skip_ws()
+    datatype: str | None = None
+    language: str | None = None
+    if sc.peek() == "<":
+        obj = sc.uri()
+        if obj is None:
+            return None
+    elif sc.peek() == '"':
+        raw = sc.literal()
+        if raw is None:
+            return None
+        obj = nt_unescape(raw)
+        if sc.peek() == "@":
+            sc.i += 1
+            m = _LANG_RE.match(sc.s, sc.i)
+            if not m or m.start() != sc.i:
+                return None  # bad lang tag (ref: Quad.scala:226-242)
+            language = m.group(0)
+            sc.i = m.end()
+            datatype = RDF_LANGSTRING
+        elif sc.s.startswith("^^", sc.i):
+            sc.i += 2
+            datatype = sc.uri()
+            if datatype is None:
+                return None
+        else:
+            datatype = XSD_STRING
+    else:
+        return None
+    sc.skip_ws()
+    graph: str | None = None
+    if sc.peek() == "<":
+        graph = sc.uri()  # optional 4th element (ref: Quad.scala:253-255)
+        sc.skip_ws()
+    if sc.peek() != ".":  # required terminal (ref: Quad.scala:257-259)
+        return None
+    sc.i += 1
+    sc.skip_ws()
+    if sc.i != sc.n:
+        return None
+    return PyQuad(subj, pred, obj, datatype, language, graph)
+
+
+# ---------------------------------------------------------------------------
+# Formatter (ref: formatters/TerseBuilder.scala:10-82, TripleFormatter.scala:8-25)
+# ---------------------------------------------------------------------------
+
+
+def format_nt_line(q: PyQuad, quads_mode: bool = False, turtle: bool = False) -> str:
+    """Quad -> one N-Triples/N-Quads line. 3-way object dispatch (URI /
+    lang literal / typed literal, ref: TripleFormatter.scala:18-20);
+    xsd:string omitted on output (TerseBuilder.scala:44-48); context appended
+    only in quads mode (:51-60); any bad URI comments out the whole line with
+    `# ` (:23, UriTripleBuilder.scala:19-30)."""
+    bad = not is_absolute_uri(q.subject) or not is_absolute_uri(q.predicate)
+    if q.datatype is None:
+        bad = bad or not is_absolute_uri(q.obj)
+        obj = f"<{q.obj}>"
+    elif q.language is not None:
+        obj = f'"{nt_escape(q.obj, turtle)}"@{q.language}'
+    elif q.datatype == XSD_STRING:
+        obj = f'"{nt_escape(q.obj, turtle)}"'
+    else:
+        bad = bad or not is_absolute_uri(q.datatype)
+        obj = f'"{nt_escape(q.obj, turtle)}"^^<{q.datatype}>'
+    line = f"<{q.subject}> <{q.predicate}> {obj}"
+    if quads_mode and q.graph:
+        bad = bad or not is_absolute_uri(q.graph)
+        line += f" <{q.graph}>"
+    line += " ."
+    return "# " + line if bad else line
+
+
+# ---------------------------------------------------------------------------
+# Mention detection (ref: solr/SolrHandler.java:395-512; policies enum :367-378)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Mention:
+    start: int
+    end: int
+    surface: str
+    entity_iri: str
+
+
+class Gazetteer:
+    """Compiled surface-form dictionary. One regex alternation (longest-first
+    so the scanner is deterministic), word-boundary anchored — the vectorized
+    stand-in for the reference's token-trie tagger (SolrHandler.java:395-473)."""
+
+    def __init__(self, surface_to_iri: dict[str, str]):
+        self.surface_to_iri = dict(surface_to_iri)
+        forms = sorted(self.surface_to_iri, key=len, reverse=True)
+        if forms:
+            pat = "|".join(re.escape(f) for f in forms)
+            self.rx = re.compile(r"(?<![A-Za-z0-9])(?:%s)(?![A-Za-z0-9])" % pat)
+        else:
+            self.rx = None
+        # shorter forms that are boundary-clean prefixes of a longer form —
+        # the alternation always picks the longest at a given start, so these
+        # must be recovered explicitly for the ALL policy
+        self._prefix_forms: dict[str, list[str]] = {}
+        for long_f in forms:
+            subs = [
+                f for f in forms
+                if len(f) < len(long_f)
+                and long_f.startswith(f)
+                and not long_f[len(f)].isalnum()
+            ]
+            if subs:
+                self._prefix_forms[long_f] = subs
+
+    def find_all(self, text: str) -> list[Mention]:
+        """All candidate matches incl. overlaps (policy ALL,
+        SolrHandler.java:367-378). Overlapping alternatives are recovered by
+        re-scanning from start+1 inside a covered span."""
+        if self.rx is None:
+            return []
+        out: list[Mention] = []
+        i = 0
+        while True:
+            m = self.rx.search(text, i)
+            if not m:
+                break
+            out.append(Mention(m.start(), m.end(), m.group(0),
+                               self.surface_to_iri[m.group(0)]))
+            # shorter forms sharing this start (masked by longest-first alt)
+            for sub in self._prefix_forms.get(m.group(0), ()):
+                out.append(Mention(m.start(), m.start() + len(sub), sub,
+                                   self.surface_to_iri[sub]))
+            # re-scan inside the span to surface shorter overlapped forms
+            i = m.start() + 1
+        # dedupe identical spans
+        seen = set()
+        uniq = []
+        for mn in sorted(out, key=lambda x: (x.start, -(x.end))):
+            k = (mn.start, mn.end)
+            if k not in seen:
+                seen.add(k)
+                uniq.append(mn)
+        return uniq
+
+
+def apply_overlap_policy(mentions: list[Mention], policy: str = "LONGEST_DOMINANT_RIGHT") -> list[Mention]:
+    """Overlap resolution policies (ref enum SolrHandler.java:367-378):
+    ALL keeps everything; NO_SUB drops matches strictly contained in another;
+    LONGEST_DOMINANT_RIGHT greedily keeps the longest match, ties going to
+    the rightmost, then suppresses everything overlapping it."""
+    if policy == "ALL":
+        return sorted(mentions, key=lambda m: (m.start, m.end))
+    if policy == "NO_SUB":
+        out = [
+            m for m in mentions
+            if not any(
+                (o.start <= m.start and m.end <= o.end and (o.start, o.end) != (m.start, m.end))
+                for o in mentions
+            )
+        ]
+        return sorted(out, key=lambda m: (m.start, m.end))
+    if policy == "LONGEST_DOMINANT_RIGHT":
+        remaining = sorted(mentions, key=lambda m: (-(m.end - m.start), -m.start))
+        kept: list[Mention] = []
+        for m in remaining:
+            if all(m.end <= k.start or m.start >= k.end for k in kept):
+                kept.append(m)
+        return sorted(kept, key=lambda m: (m.start, m.end))
+    raise ValueError(f"unknown overlap policy: {policy}")
+
+
+# ---------------------------------------------------------------------------
+# Relation extraction over transcript text (the pipeline's extraction stage;
+# grouped-map analog of QuadMapper.mapSortedQuads, QuadMapper.scala:104-128)
+# ---------------------------------------------------------------------------
+
+# connector string between two adjacent mentions -> predicate IRI
+RELATION_CONNECTORS: dict[str, str] = {
+    "works at": EX + "worksAt",
+    "was born in": EX + "bornIn",
+    "founded": EX + "founded",
+    "is located in": EX + "locatedIn",
+    "acquired": EX + "acquired",
+    "collaborated with": EX + "collaboratedWith",
+}
+
+_POPULATION_RE = re.compile(r" has population (\d+)")
+_LABEL_RE = re.compile(r' is known as "((?:[^"\\]|\\.)*)"@([a-z][a-z0-9-]*)')
+
+
+def extract_triples_from_text(
+    text: str, gaz: Gazetteer, graph: str | None,
+    policy: str = "LONGEST_DOMINANT_RIGHT",
+) -> list[PyQuad]:
+    """Extract (subj, pred, obj) quads from one turn's text.
+
+    1. mention detection + overlap policy;
+    2. adjacent-mention pairs whose connecting text matches a relation
+       connector -> object-property triple (datatype None);
+    3. `<m> has population N` -> xsd:integer literal;
+    4. `<m> is known as "L"@lang` -> rdf:langString literal.
+    """
+    mentions = apply_overlap_policy(gaz.find_all(text), policy)
+    quads: list[PyQuad] = []
+    for a, b in zip(mentions, mentions[1:]):
+        between = text[a.end : b.start].strip().strip(",;").strip()
+        pred = RELATION_CONNECTORS.get(between)
+        if pred:
+            quads.append(PyQuad(a.entity_iri, pred, b.entity_iri, None, None, graph))
+    for m in mentions:
+        pm = _POPULATION_RE.match(text, m.end)
+        if pm:
+            quads.append(
+                PyQuad(m.entity_iri, EX + "population", pm.group(1),
+                       XSD_INTEGER, None, graph)
+            )
+        lm = _LABEL_RE.match(text, m.end)
+        if lm:
+            quads.append(
+                PyQuad(m.entity_iri, EX + "label", nt_unescape(lm.group(1)),
+                       RDF_LANGSTRING, lm.group(2), graph)
+            )
+    return quads
+
+
+def extract_conversation(
+    turns: list[tuple[int, str, str, str | None]],
+    gaz: Gazetteer,
+    conv_id: str,
+    policy: str = "LONGEST_DOMINANT_RIGHT",
+) -> list[PyQuad]:
+    """Extract all quads for one conversation. `turns` is a list of
+    (turn_idx, role, text, tool) — MUST be processed in turn_idx order
+    (the reference relies on sorted-file order, QuadReader.scala:44-62;
+    we sort explicitly). Tool turns additionally emit a per-turn
+    toolUsed quad keyed by the turn IRI."""
+    graph = f"http://example.org/conv/{conv_id}"
+    quads: list[PyQuad] = []
+    for turn_idx, role, text, tool in sorted(turns, key=lambda t: t[0]):
+        quads.extend(extract_triples_from_text(text or "", gaz, graph, policy))
+        if role == "tool" and tool:
+            turn_iri = f"http://example.org/conv/{conv_id}/turn/{turn_idx}"
+            quads.append(
+                PyQuad(turn_iri, EX + "toolUsed", tool, XSD_STRING, None, graph)
+            )
+    return quads
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization oracle (union-find over alias edges)
+# (ref: redirects/sameAs maps SolrLoader.scala:41-84,176-197; the engine uses
+#  iterative-join connected components — this is the test oracle)
+# ---------------------------------------------------------------------------
+
+
+def resolve_canonical(edges: list[tuple[str, str, str]]) -> tuple[dict[str, str], set[str]]:
+    """Union-find over redirect/sameAs edges -> {iri: canonical_iri} where
+    canonical = lexicographic min of the component. `disambiguation` edges
+    contribute their src to the excluded set instead (anti-join analog,
+    SolrLoader.scala:124-127)."""
+    parent: dict[str, str] = {}
+    excluded: set[str] = set()
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for src, dst, kind in edges:
+        if kind == "disambiguation":
+            excluded.add(src)
+            continue
+        union(src, dst)
+    mapping = {}
+    for node in list(parent):
+        mapping[node] = find(node)
+    return mapping, excluded
+
+
+def canonicalize_quads(
+    quads: list[PyQuad], mapping: dict[str, str], excluded: set[str]
+) -> list[PyQuad]:
+    """Rewrite subject (and URI objects) to canonical IRIs; drop quads whose
+    subject is a disambiguation source (ref: SolrLoader.scala:124-127)."""
+    out = []
+    for q in quads:
+        subj = mapping.get(q.subject, q.subject)
+        if q.subject in excluded or subj in excluded:
+            continue
+        obj = q.obj
+        if q.datatype is None:
+            obj = mapping.get(q.obj, q.obj)
+            if q.obj in excluded or obj in excluded:
+                continue
+        out.append(PyQuad(subj, q.predicate, obj, q.datatype, q.language, q.graph, q.dataset))
+    return out
+
+
+def dedup_quads(quads: list[PyQuad]) -> list[PyQuad]:
+    """First-seen-order dedup on the 5-field identity
+    (ref: DeduplicatingDestination.scala:10-24 LinkedHashSet)."""
+    seen = set()
+    out = []
+    for q in quads:
+        k = q.identity()
+        if k not in seen:
+            seen.add(k)
+            out.append(q)
+    return out

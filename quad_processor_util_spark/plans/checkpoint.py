@@ -1,0 +1,93 @@
+"""Per-partition checkpoint ledger + counter metrics.
+
+Reinterprets the reference's resumable byte-limit scan (QuadReader.scala:
+163-203: stop at a byte budget, resume from the recorded offset) and its
+LogRecorder counters (log/LogRecorder.scala:234-251) at Spark granularity:
+the conv_id space is hashed into B buckets; each bucket is one commit unit
+with its own output partition, row counters, and ledger entry. A restarted
+run skips buckets already in the ledger — no recomputation of completed
+partitions (BASELINE.md resumability target).
+
+The ledger is a JSON-lines file next to the output (the Iceberg
+snapshot-summary analog; see sources/io.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_expr(conv_col: str = "conv_id", n_buckets: int = 8):
+    """Deterministic bucket id for a conversation (explicit partitioning of
+    the input space — the resume unit)."""
+    return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
+
+
+class Ledger:
+    """Append-only JSONL ledger of completed buckets with counters."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def completed(self) -> dict[int, dict]:
+        done: dict[int, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        done[rec["bucket"]] = rec
+        return done
+
+    def record(self, bucket: int, metrics: dict) -> None:
+        rec = {
+            "bucket": bucket,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            **metrics,
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+
+
+def run_checkpointed(
+    transcripts: DataFrame,
+    process: Callable[[DataFrame], DataFrame],
+    out_path: str,
+    ledger_path: str,
+    n_buckets: int = 8,
+    conv_col: str = "conv_id",
+) -> dict[int, dict]:
+    """Process the transcript table bucket-by-bucket with resume.
+
+    Each bucket: filter (partition-pruned by the bucket column once the
+    input is bucket-partitioned at rest) → `process` → append-write under
+    bucket=<b>/ → ledger entry {turns_in, quads_out}. Buckets present in the
+    ledger are skipped entirely. Dedup inside `process` is bucket-local;
+    run a final global dedup compaction if cross-bucket identity collisions
+    matter (conversations never span buckets, so graph-scoped quads cannot
+    collide; only identical cross-conversation triples can).
+    Returns the full ledger state."""
+    ledger = Ledger(ledger_path)
+    done = ledger.completed()
+    with_bucket = transcripts.withColumn("__bucket", bucket_expr(conv_col, n_buckets))
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        sub = with_bucket.where(F.col("__bucket") == b).drop("__bucket")
+        turns_in = sub.count()
+        result = process(sub)
+        out = result.write.mode("overwrite")
+        target = os.path.join(out_path, f"bucket={b}")
+        out.parquet(target)
+        quads_out = result.sparkSession.read.parquet(target).count()
+        metrics = {"turns_in": turns_in, "quads_out": quads_out, "output": target}
+        ledger.record(b, metrics)
+        done[b] = metrics
+    return done

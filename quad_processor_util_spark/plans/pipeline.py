@@ -1,0 +1,154 @@
+"""The KG-construction pipeline: extract → link → canonicalize → materialize.
+
+Spark-first restatement of the reference's three launchers (SURVEY.md §3):
+sorted-group traversal (QuadReader.scala:44-90) becomes an explicit
+repartition-by-conv_id + in-partition secondary sort feeding Arrow batches;
+the solr-loader's hash-map canonicalization (SolrLoader.scala:41-84) becomes
+connected components + broadcast joins; the predicate splitter
+(DumpSplitter.scala:46-60) becomes write.partitionBy.
+
+Hot-path rules: extraction is mapInPandas (Arrow batches, no per-row Python
+UDF calls, no extra shuffle beyond the one explicit conv_id repartition);
+canonicalization joins broadcast the mapping; dedup is one shuffle on the
+5-field identity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.nt import QUAD_FIELDS, QUAD_SCHEMA, dedup_quads_df
+from ..oracle import EX, XSD_STRING, Gazetteer, extract_triples_from_text
+from ..sources.io import write_quads_partitioned_by_predicate
+
+# per-worker gazetteer cache: broadcast dict -> compiled Gazetteer
+_GAZ_CACHE: dict[int, Gazetteer] = {}
+
+
+def _get_gazetteer(bc) -> Gazetteer:
+    key = id(bc)
+    g = _GAZ_CACHE.get(key)
+    if g is None:
+        g = Gazetteer(bc.value)
+        _GAZ_CACHE[key] = g
+    return g
+
+
+def stable_order(transcripts: DataFrame) -> DataFrame:
+    """Stable turn ordering per conversation: explicit repartition by conv_id
+    (north rule) + in-partition sort on (conv_id, turn_idx). One shuffle;
+    downstream per-conv work reuses this partitioning. The window-function
+    equivalent (row_number over conv_id/turn_idx) is in turn_numbers()."""
+    parts = transcripts.sparkSession.sparkContext.defaultParallelism
+    return transcripts.repartition(parts, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+
+def turn_numbers(transcripts: DataFrame) -> DataFrame:
+    """row_number per conv_id ordered by turn_idx — the invariant surface
+    ('per-turn text equality under stable turn ordering'): for a dense
+    0-based turn_idx, rn - 1 == turn_idx everywhere."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.withColumn("rn", F.row_number().over(w))
+
+
+def extract_quads(
+    transcripts: DataFrame,
+    surface_to_iri: dict[str, str],
+    policy: str = "LONGEST_DOMINANT_RIGHT",
+) -> DataFrame:
+    """Mention detection + relation extraction per turn, as mapInPandas over
+    conv-grouped, turn-ordered Arrow batches (extraction is per-turn, so
+    batch boundaries cannot split semantics; ordering gives deterministic
+    within-conversation quad order). Emits the 7-field quad table with
+    graph = http://example.org/conv/<conv_id> provenance (context column,
+    Quad.scala:37) and per-turn toolUsed quads for tool turns."""
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast(dict(surface_to_iri))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = _get_gazetteer(bc)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                graph = f"http://example.org/conv/{r.conv_id}"
+                for q in extract_triples_from_text(r.text or "", gaz, graph, policy):
+                    rows.append((q.subject, q.predicate, q.obj, q.datatype,
+                                 q.language, q.graph, None))
+                if r.role == "tool" and isinstance(r.tool, str) and r.tool:
+                    turn_iri = f"http://example.org/conv/{r.conv_id}/turn/{r.turn_idx}"
+                    rows.append((turn_iri, EX + "toolUsed", r.tool,
+                                 XSD_STRING, None, graph, None))
+            yield pd.DataFrame(rows, columns=QUAD_FIELDS)
+
+    return stable_order(transcripts).mapInPandas(_extract, QUAD_SCHEMA)
+
+
+def canonicalize(
+    quads: DataFrame, mapping: DataFrame, excluded: DataFrame
+) -> DataFrame:
+    """Rewrite subject + URI objects to canonical IRIs (broadcast hash join —
+    the in-memory redirect map, SolrLoader.scala:58-84, distributed); drop
+    quads touching disambiguation sources (left_anti,
+    SolrLoader.scala:124-127). For head-entity-skewed mapping tables swap the
+    broadcast for operators.joins.salted_join."""
+    m = F.broadcast(mapping)
+    ex = F.broadcast(excluded.select(F.col("iri")).distinct())
+    out = (
+        quads.join(
+            m.select(F.col("node").alias("subject"), F.col("canonical").alias("__cs")),
+            "subject", "left")
+        .join(
+            m.select(F.col("node").alias("obj"), F.col("canonical").alias("__co")),
+            "obj", "left")
+        .select(
+            F.coalesce("__cs", "subject").alias("subject"),
+            "predicate",
+            F.when(F.col("datatype").isNull(), F.coalesce("__co", "obj"))
+            .otherwise(F.col("obj")).alias("obj"),
+            "datatype", "language", "graph", "dataset",
+        )
+    )
+    out = out.join(ex.select(F.col("iri").alias("subject")), "subject", "left_anti")
+    out = out.join(
+        ex.select(F.col("iri").alias("obj")),
+        "obj",
+        "left_anti",
+    )
+    return out.select(*QUAD_FIELDS)
+
+
+def materialize(quads: DataFrame, out_path: str, meta: dict | None = None) -> None:
+    """Dedup on the 5-field identity then write partitioned by predicate
+    label (DumpSplitter semantics)."""
+    write_quads_partitioned_by_predicate(dedup_quads_df(quads), out_path, meta=meta)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog_pdf,
+    alias_edges: DataFrame,
+    out_path: str | None = None,
+    policy: str = "LONGEST_DOMINANT_RIGHT",
+) -> DataFrame:
+    """End-to-end: extract → canonicalize (CC over alias edges) → dedup
+    (→ optionally materialize partitioned by predicate). Returns the final
+    quad DataFrame. `catalog_pdf` is the pandas entity catalog (gazetteer
+    dimension — small by design, broadcast)."""
+    from ..datagen import build_gazetteer
+    from ..operators.cc import canonical_mapping
+
+    gaz = build_gazetteer(catalog_pdf)
+    quads = extract_quads(transcripts, gaz.surface_to_iri, policy)
+    mapping, excluded = canonical_mapping(alias_edges)
+    canon = canonicalize(quads, mapping, excluded)
+    final = dedup_quads_df(canon)
+    if out_path:
+        materialize(canon, out_path)
+    return final

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale stance: these configs are chosen so the same plan holds on a
+1000-executor cluster reading 100 TB — AQE on (runtime re-plan + skew-join
+splitting), Arrow enabled (every hot-path UDF is a pandas/Arrow UDF, never
+row-at-a-time Python), session timezone pinned to UTC so results are
+comparable across engines (the DuckDB oracle is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "quad-processor-util-spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    parallelism: local[N] thread count; defaults to $SPARK_GRAFT_CPUS or 32.
+    shuffle_partitions: defaults to parallelism (right-sized for local mode;
+      on a real cluster you'd set ~2-3x total cores and let AQE coalesce).
+    """
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scan sizing: at 100 TB this bounds task input so partitions
+        # fit executor memory (reference analog: MAXMEMUSAGE chunking,
+        # sort/QuadSorter.scala:662 — Spark spills instead, this just sizes).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,95 @@
+"""Table IO abstraction — Iceberg-shaped API over parquet directories.
+
+The design target is Iceberg (snapshot scans, commit metadata = the
+reference's StreamSourceMetaData file headers, file/StreamSourceMetaData.
+scala:7-49), but the sandbox has no Iceberg runtime jar, so this module
+implements the same contract over parquet directories + a JSON sidecar
+(`_table_meta.json`) per commit: table format is one config flip, not a fork
+(SURVEY.md §7 design stance).
+
+Also here: the text source/sink for N-Triples parity files (gz/bz2 transparent
+via Spark codecs — the reference's suffix-based wrapping, file/IOUtils.scala:
+24-35, is native), and the partition-by-predicate quad sink
+(scripts/DumpSplitter.scala:46-60 as `write.partitionBy`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.uri import safe_partition_value
+
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table (parquet file or directory)."""
+    return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Write parquet + a commit-metadata sidecar (lineage + counters — the
+    Iceberg snapshot-summary analog; reference: per-file header metadata,
+    StreamSourceMetaData.scala:7-49 written by QuadSorter.scala:392-404)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    sidecar = {
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "partition_by": partition_by or [],
+        **(meta or {}),
+    }
+    with open(os.path.join(path, "_table_meta.json"), "w") as f:
+        json.dump(sidecar, f, indent=2, sort_keys=True)
+
+
+def read_table_meta(path: str) -> dict | None:
+    p = os.path.join(path, "_table_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_nt_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line source for N-Triples/N-Quads text files (.gz/.bz2 transparent —
+    QuadReader.readQuads line scan, QuadReader.scala:163-197, minus the
+    hand-rolled chunking: Spark splits text files natively).
+    -> DataFrame(line STRING)."""
+    return spark.read.text(path).withColumnRenamed("value", "line")
+
+
+def write_nt_lines(lines: DataFrame, path: str, compression: str | None = None) -> None:
+    """Text sink for formatted N-Triples output (WriterDestination.scala:20-45;
+    multi-part output replaces the bash-cat concat, IOUtils.scala:96-134 —
+    a table's files are already a logical whole)."""
+    w = lines.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def write_quads_partitioned_by_predicate(
+    quads: DataFrame, path: str, mode: str = "overwrite", meta: dict | None = None
+) -> None:
+    """The predicate split (DumpSplitter.scala:46-60): one parquet table
+    partitioned by a filesystem-safe predicate label. Dynamic directory
+    creation per new predicate is native to partitionBy. The full predicate
+    IRI stays as a column; the partition value is its sanitized local name
+    (RdfNamespace.findPrefix naming, utils/RdfNamespace.scala:45-56)."""
+    out = quads.withColumn("pred_label", safe_partition_value(F.col("predicate")))
+    write_table(out, path, mode, partition_by=["pred_label"], meta=meta)

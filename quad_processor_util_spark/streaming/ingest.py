@@ -1,0 +1,96 @@
+"""Structured Streaming ingest of transcripts.
+
+The reference is batch-only (SURVEY.md §2.11) — its closest notions are the
+resumable byte-limit scan and async sink pipelining. This module adds the
+genuinely streaming path a transcript firehose needs: readStream over the
+transcript directory → the same extraction mapInPandas as batch (code is
+shared — DataFrame fns are execution-mode agnostic) → append sink, with
+event-time watermarking for the windowed turn-rate aggregation.
+
+Checkpointing is Spark-native here (writeStream.option(checkpointLocation)),
+complementing the batch bucket ledger in plans/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import extract_quads
+from ..sources.io import TRANSCRIPTS_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of transcript parquet drops (schema fixed by
+    BASELINE.json input_hint)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def streaming_extract(
+    stream: DataFrame, surface_to_iri: dict[str, str]
+) -> DataFrame:
+    """Extraction over the stream — same mapInPandas as batch. (Stable
+    intra-conversation ordering is not meaningful on an unbounded stream;
+    extraction is per-turn, so semantics are unchanged. The repartition in
+    stable_order is skipped: streams forbid arbitrary repartition+sort.)"""
+    # extract_quads' stable_order repartition works on streams too, but the
+    # sortWithinPartitions does not — call the mapInPandas body via a bounded
+    # wrapper: reuse extract_quads on a stream is fine because Spark allows
+    # repartition on streaming DFs; sortWithinPartitions it does not. So we
+    # re-derive the extraction here without the sort.
+    from ..plans.pipeline import _get_gazetteer  # shared worker-side cache
+    from ..functions.nt import QUAD_FIELDS, QUAD_SCHEMA
+    from ..oracle import EX, XSD_STRING, extract_triples_from_text
+
+    import pandas as pd
+
+    bc = stream.sparkSession.sparkContext.broadcast(dict(surface_to_iri))
+
+    def _extract(batches):
+        gaz = _get_gazetteer(bc)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                graph = f"http://example.org/conv/{r.conv_id}"
+                for q in extract_triples_from_text(r.text or "", gaz, graph):
+                    rows.append((q.subject, q.predicate, q.obj, q.datatype,
+                                 q.language, q.graph, None))
+                if r.role == "tool" and isinstance(r.tool, str) and r.tool:
+                    turn_iri = f"http://example.org/conv/{r.conv_id}/turn/{r.turn_idx}"
+                    rows.append((turn_iri, EX + "toolUsed", r.tool,
+                                 XSD_STRING, None, graph, None))
+            yield pd.DataFrame(rows, columns=QUAD_FIELDS)
+
+    return stream.mapInPandas(_extract, QUAD_SCHEMA)
+
+
+def turn_rate_windows(stream: DataFrame, window: str = "5 minutes",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Windowed turn counts per role with late-data watermark — the
+    streaming analog of LogRecorder's periodic throughput report
+    (log/LogRecorder.scala:234-251)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count(F.lit(1)).alias("turns"))
+    )
+
+
+def run_stream_to_parquet(
+    quad_stream: DataFrame, out_path: str, checkpoint_path: str
+):
+    """Append quads to parquet with exactly-once file-sink semantics; caller
+    awaits/stops. availableNow drains all pending input then stops — the
+    batch-parity trigger used in tests."""
+    return (
+        quad_stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
