@@ -1,38 +1,504 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG-extraction pipeline on sf0.001.
+`queries()` exposes one entry per implemented operator (SURVEY.md §2);
+`oracle_sql()` gives the DuckDB-equivalent SQL on the same parquet views.
+
+Column names are aliased identically on both sides; float aggregations go
+through decimal (associativity-safe) before a final double cast; outputs
+avoid raw timestamp columns (session-TZ hazards).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quad_processor_util_spark.functions import text as T
+from quad_processor_util_spark.functions.nt import parse_nt_expr
+from quad_processor_util_spark.functions.uri import local_name
+from quad_processor_util_spark.operators.cc import connected_components
+from quad_processor_util_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from quad_processor_util_spark.operators.joins import salted_join
+from quad_processor_util_spark.operators.similarity import cosine_topk, lsh_topk
+from quad_processor_util_spark.plans.pipeline import extract_quads
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# fixed mini-gazetteer for the events->transcripts derivation (q_extract/entry)
+_PEOPLE = ["Ada Lovelace", "Alan Turing", "Grace Hopper", "Barbara Liskov"]
+_ORGS = ["Turing Institute", "Hopper Labs", "Liskov Systems", "Knuth Press"]
+_DBR = "http://dbpedia.org/resource/"
+_GAZ = {n: _DBR + n.replace(" ", "_") for n in _PEOPLE + _ORGS}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic transcripts table from the driver's events
+    table (BASELINE.json input shape) — same construction as the SQL oracle."""
+    ev = _t(spark, sf_dir, "events")
+    people = F.array(*[F.lit(p) for p in _PEOPLE])
+    orgs = F.array(*[F.lit(o) for o in _ORGS])
+    a = F.element_at(people, (F.col("event_id") % 4 + 1).cast("int"))
+    b = F.element_at(orgs, (F.floor((F.col("event_id") % 16) / 4) + 1).cast("int"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(a, F.lit(" works at "), b, F.lit(".")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events-derived transcripts -> stable order -> vectorized
+    mention detection + triple extraction -> distinct quads."""
+    tr = _events_as_transcripts(spark, SF_DEFAULT)
+    quads = extract_quads(tr, _GAZ)
+    return quads.select("subject", "predicate", "obj", "graph").distinct()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))))
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_star_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def _q_stable_turn_order(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", (F.row_number().over(w) - 1).alias("turn_idx")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id")
+
+
+def _q_predicate_split_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pred = F.concat(F.lit("http://example.org/ontology/"), F.col("event_type"))
+    return (
+        ev.select(pred.alias("predicate"))
+        .groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(local_name(F.col("predicate")).alias("pred_label"), "n")
+        .orderBy("pred_label")
+    )
+
+
+def _q_nt_format(spark, sf_dir):
+    from quad_processor_util_spark.functions.nt import format_nt_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    quads = docs.select(
+        F.concat(F.lit("http://example.org/doc/"), F.col("doc_id")).alias("subject"),
+        F.lit("http://example.org/ontology/lang").alias("predicate"),
+        F.col("lang").alias("obj"),
+        F.lit("http://www.w3.org/2001/XMLSchema#string").alias("datatype"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("string").alias("dataset"),
+    )
+    return format_nt_expr(quads).orderBy("line")
+
+
+def _q_quad_parse(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat(
+            F.lit("<http://example.org/doc/"), F.col("doc_id"),
+            F.lit("> <http://example.org/ontology/source> \""), F.col("source"),
+            F.lit('" <http://example.org/g/'), F.col("lang"), F.lit("> ."),
+        ).alias("line")
+    )
+    return parse_nt_expr(lines).select("subject", "predicate", "obj", "datatype", "graph")
+
+
+def _q_star_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.min("event_type").alias("first_type"),
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
+        )
+    )
+
+
+def _q_text_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=3).select("query_id", "rank", "neighbor_id")
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_salted_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "k")
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "k")
+    return (
+        salted_join(orders, customer, "k", salt_buckets=4)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey", "left_anti",
+    ).select("c_custkey")
+
+
+def _q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval comparison is TZ-free, exact on fractional seconds, and
+    # accepts TIMESTAMP_NTZ (driver parquet)
+    is_gap = F.col("ts") > F.expr("__prev + INTERVAL 30 MINUTES")
+    new_sess = F.when(F.col("__prev").isNull() | is_gap, 1).otherwise(0)
+    return (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn("__new", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("__new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _q_connected_components(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.format_string("n%02d", F.col("n_nationkey")).alias("src_iri"),
+        F.format_string("r%02d", F.col("n_regionkey")).alias("dst_iri"),
+    )
+    return connected_components(edges).orderBy("node")
+
+
+def _q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id_heuristic(F.col("text")).alias("lang_guess"))
+
+
+def _q_extract_kg(spark, sf_dir):
+    tr = _events_as_transcripts(spark, sf_dir)
+    quads = extract_quads(tr, _GAZ)
+    return quads.select("subject", "predicate", "obj", "graph").distinct()
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.6).select("doc_id")
+
+
+def _q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_signatures(docs).select("doc_id", "simhash")
+
+
+def _q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    pdf_dim = len(emb.select("embedding").first()[0])
+    return lsh_topk(emb, queries, dim=pdf_dim, k=3, planes=6, tables=8).select(
+        "query_id", "rank", "neighbor_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tpch_q1": _q_tpch_q1,
+        "star_join": _q_star_join,
+        "stable_turn_order": _q_stable_turn_order,
+        "dedup_exact": _q_dedup_exact,
+        "predicate_split_counts": _q_predicate_split_counts,
+        "nt_format": _q_nt_format,
+        "quad_parse": _q_quad_parse,
+        "star_group": _q_star_group,
+        "text_metrics": _q_text_metrics,
+        "cosine_topk": _q_cosine_topk,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "salted_join": _q_salted_join,
+        "anti_join": _q_anti_join,
+        "sessionize": _q_sessionize,
+        "connected_components": _q_connected_components,
+        "lang_id": _q_lang_id,
+        "extract_kg": _q_extract_kg,
+        # rows-only checks (hash-based ops not expressible in portable SQL)
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "lsh_topk": _q_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_PEOPLE_SQL = "['" + "','".join(_PEOPLE) + "']"
+_ORGS_SQL = "['" + "','".join(_ORGS) + "']"
+_PIRIS_SQL = "['" + "','".join(_DBR + p.replace(" ", "_") for p in _PEOPLE) + "']"
+_OIRIS_SQL = "['" + "','".join(_DBR + o.replace(" ", "_") for o in _ORGS) + "']"
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(t) - 2)])
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(g) AS sh FROM grams
+), sizes AS (
+  SELECT doc_id, len(g) AS sz FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM inv a JOIN inv b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "star_join": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "stable_turn_order": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                       AS turn_idx
+            FROM events
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5({_NORM})
+        """,
+        "predicate_split_counts": """
+            SELECT event_type AS pred_label, count(*) AS n
+            FROM events GROUP BY event_type ORDER BY pred_label
+        """,
+        "nt_format": """
+            SELECT '<http://example.org/doc/' || doc_id ||
+                   '> <http://example.org/ontology/lang> "' || lang || '" .' AS line
+            FROM documents ORDER BY line
+        """,
+        "quad_parse": """
+            SELECT 'http://example.org/doc/' || doc_id AS subject,
+                   'http://example.org/ontology/source' AS predicate,
+                   source AS obj,
+                   'http://www.w3.org/2001/XMLSchema#string' AS datatype,
+                   'http://example.org/g/' || lang AS graph
+            FROM documents
+        """,
+        "star_group": """
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   min(event_type) AS first_type,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+            FROM events GROUP BY user_id
+        """,
+        "text_metrics": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   CASE WHEN len(text) > 0 THEN
+                        round(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+                              * 1.0 / len(text), 6)
+                        ELSE 0.0 END AS punct_ratio,
+                   md5({_NORM}) AS fp
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+        """,
+        "jaccard_pairs": _JACCARD_ORACLE,
+        "salted_join": """
+            SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN ts > lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "connected_components": """
+            WITH canon AS (
+              SELECT n_regionkey, format('n{:02d}', min(n_nationkey)) AS canonical
+              FROM nation GROUP BY n_regionkey
+            )
+            SELECT format('n{:02d}', n_nationkey) AS node, c.canonical
+            FROM nation n JOIN canon c USING (n_regionkey)
+            UNION ALL
+            SELECT format('r{:02d}', n_regionkey) AS node, canonical
+            FROM canon
+            ORDER BY node
+        """,
+        "lang_id": """
+            WITH f AS (
+              SELECT doc_id, ' ' || lower(text) || ' ' AS low FROM documents
+            ), s AS (
+              SELECT doc_id,
+                (low LIKE '% the %')::INT + (low LIKE '% and %')::INT +
+                (low LIKE '% of %')::INT + (low LIKE '% is %')::INT AS en,
+                (low LIKE '% der %')::INT + (low LIKE '% die %')::INT +
+                (low LIKE '% das %')::INT + (low LIKE '% und %')::INT AS de,
+                (low LIKE '% el %')::INT + (low LIKE '% la %')::INT +
+                (low LIKE '% los %')::INT + (low LIKE '% que %')::INT AS es,
+                (low LIKE '% le %')::INT + (low LIKE '% les %')::INT +
+                (low LIKE '% des %')::INT + (low LIKE '% est %')::INT AS fr
+              FROM f
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, es, fr) = 0 THEN 'other'
+                        WHEN en = greatest(en, de, es, fr) THEN 'en'
+                        WHEN de = greatest(en, de, es, fr) THEN 'de'
+                        WHEN es = greatest(en, de, es, fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM s
+        """,
+        "extract_kg": f"""
+            SELECT DISTINCT
+                   {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
+                   'http://example.org/ontology/worksAt' AS predicate,
+                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
+                   'http://example.org/conv/' || user_id AS graph
+            FROM events
+        """,
+        # minhash_dedup / simhash / lsh_topk: seeded-hash ops, not portable
+        # SQL — rows-only checks (driver's weaker gate), verified in pytest
+        # against python oracles instead.
+    }

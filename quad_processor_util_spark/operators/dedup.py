@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: keeps h*a + b < 2^62, inside int64 under ANSI mode
+_MERSENNE = (1 << 31) - 1
 
 
 # ---------------------------------------------------------------------------
@@ -88,7 +89,7 @@ def minhash_signatures(
     )
     h = F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))
     aggs = [
-        F.min(F.pmod(h * F.lit(a % (1 << 31)) + F.lit(b % (1 << 31)), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return sh.groupBy(id_col).agg(*aggs)

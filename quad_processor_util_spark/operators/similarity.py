@@ -77,16 +77,6 @@ def _hyperplanes(dim: int, planes: int, tables: int, seed: int) -> list[list[lis
     ]
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign pattern of the vector against each hyperplane, packed to a long."""
-    total = F.lit(0).cast("long")
-    for i, pl in enumerate(planes):
-        arr = F.array(*[F.lit(w) for w in pl])
-        bit = F.when(_dot(F.transform(vec, lambda x: x.cast("double")), arr) >= 0, 1).otherwise(0)
-        total = total + bit.cast("long") * F.lit(1 << i).cast("long")
-    return total
-
-
 def lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -96,15 +86,43 @@ def lsh_buckets(
     tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """-> (id, vec, table, bucket) exploded over `tables` hash tables."""
-    hp = _hyperplanes(dim, planes, tables, seed)
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("table"), _bucket_expr(F.col(vec_col), hp[t]).alias("bucket"))
-        for t in range(tables)
+    """-> (id, vec, table, bucket) exploded over `tables` hash tables.
+
+    Hashing is one numpy matmul per Arrow batch inside mapInPandas
+    (X @ P.T sign bits packed to a long) — vectorized across rows, planes
+    and tables at once; the expression-tree alternative re-evaluates
+    planes×tables array dot products per row in codegen and is orders of
+    magnitude slower."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    P = np.array(_hyperplanes(dim, planes, tables, seed), dtype="float64")
+    P = P.reshape(tables * planes, dim)
+    weights = (np.int64(1) << np.arange(planes, dtype="int64"))
+
+    in_schema = df.select(id_col, vec_col).schema
+    out_schema = StructType(list(in_schema.fields) + [
+        StructField("table", IntegerType()), StructField("bucket", LongType()),
     ])
-    return df.select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("tb")
-    ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    def _hash(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            S = (X @ P.T >= 0).astype("int64").reshape(len(pdf), tables, planes)
+            buckets = (S * weights).sum(axis=2)  # (n, tables)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), tables),
+                vec_col: np.repeat(pdf[vec_col].to_numpy(), tables),
+                "table": np.tile(np.arange(tables, dtype="int32"), len(pdf)),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(_hash, out_schema)
 
 
 def lsh_topk(

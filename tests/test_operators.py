@@ -132,7 +132,7 @@ class TestGrouping:
                                   "conv_id string, n long, ordered boolean",
                                   order="turn_idx")
         got = {r.conv_id: (r.n, r.ordered) for r in out.collect()}
-        exp = {r.conv_id: r.n for r in tr.groupBy("conv_id").count().collect()}
+        exp = {r.conv_id: r["count"] for r in tr.groupBy("conv_id").count().collect()}
         assert {k: v[0] for k, v in got.items()} == exp
         assert all(v[1] for v in got.values())
 
