@@ -275,7 +275,7 @@ def _q_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     pdf_dim = len(emb.select("embedding").first()[0])
-    return lsh_topk(emb, queries, dim=pdf_dim, k=3, planes=6, tables=8).select(
+    return lsh_topk(emb, queries, dim=pdf_dim, k=3, planes=4, tables=16).select(
         "query_id", "rank", "neighbor_id"
     )
 

@@ -51,8 +51,14 @@ def main() -> None:
         "connected_components",
     ]
 
-    # warm the JVM/Arrow paths once (session init dominates otherwise)
+    # warm JVM codegen, shuffle, and Python-worker/Arrow paths once
+    # (one-time session costs would otherwise land on the first queries)
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    from quad_processor_util_spark.plans.pipeline import extract_quads
+    from __spark_entry__ import _events_as_transcripts, _GAZ
+    extract_quads(
+        _events_as_transcripts(spark, sf_dir).limit(2000), _GAZ
+    ).distinct().count()
 
     timings: dict[str, float] = {}
     for name in bench_names:

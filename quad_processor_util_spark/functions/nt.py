@@ -173,6 +173,28 @@ def format_nt_exact(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
     return quads.mapInPandas(_fmt, StructType([StructField("line", StringType())]))
 
 
+def format_rdf_json(quads: DataFrame) -> DataFrame:
+    """Quad -> RDF/JSON-ish line via to_json (formatters/RDFJSONBuilder.scala:
+    8-104 semantics: object kind dispatched to uri / literal+lang / literal+
+    datatype; JSON escaping is native to to_json — the reference's manual
+    control-char quoting, RDFJSONBuilder.scala:73-102, is built in).
+    -> DataFrame(json STRING)."""
+    s, p, o, dt, lang = (F.col(x) for x in
+                         ["subject", "predicate", "obj", "datatype", "language"])
+    value = F.struct(
+        s.alias("subject"),
+        p.alias("predicate"),
+        F.struct(
+            o.alias("value"),
+            F.when(dt.isNull(), F.lit("uri")).otherwise(F.lit("literal")).alias("type"),
+            lang.alias("lang"),
+            F.when(lang.isNull() & dt.isNotNull() & (dt != XSD_STRING), dt)
+            .alias("datatype"),
+        ).alias("object"),
+    )
+    return quads.select(F.to_json(value, {"ignoreNullFields": "true"}).alias("json"))
+
+
 def dedup_quads_df(quads: DataFrame) -> DataFrame:
     """Global dedup on the 5-field identity (ref: Quad.scala:79-93;
     DeduplicatingDestination.scala:10-24 — Spark's shuffle dedup is the

@@ -55,6 +55,65 @@ def nt_unescape_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: nt_unescape(x) if isinstance(x, str) else None)
 
 
+# ---------------------------------------------------------------------------
+# namespace registry (ref: utils/RdfNamespace.scala:45-56,73-106,138-141)
+# ---------------------------------------------------------------------------
+
+NAMESPACES: dict[str, str] = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dct": "http://purl.org/dc/terms/",
+    "dbo": "http://dbpedia.org/ontology/",
+    "dbr": "http://dbpedia.org/resource/",
+    "dbp": "http://dbpedia.org/property/",
+    "ex": "http://example.org/ontology/",
+    "conv": "http://example.org/conv/",
+}
+
+
+def full_uri(prefixed: str, namespaces: dict[str, str] | None = None) -> str:
+    """Expand `foaf:name` -> full IRI (RdfNamespace.fullUri,
+    utils/RdfNamespace.scala:138-141). Unknown prefix -> returned unchanged."""
+    ns = namespaces or NAMESPACES
+    if ":" in prefixed and not prefixed.startswith("http"):
+        pfx, local = prefixed.split(":", 1)
+        if pfx in ns:
+            return ns[pfx] + local
+    return prefixed
+
+
+def find_prefix(iri: str, namespaces: dict[str, str] | None = None) -> tuple[str, str] | None:
+    """IRI -> (prefix, localName), longest-namespace-wins; None when no
+    registered namespace matches (caller mints `unsN` names,
+    RdfNamespace.scala:45-56 auto-prefix fallback)."""
+    ns = namespaces or NAMESPACES
+    best = None
+    for pfx, base in ns.items():
+        if iri.startswith(base) and (best is None or len(base) > len(ns[best])):
+            best = pfx
+    if best is None:
+        return None
+    return best, iri[len(ns[best]):]
+
+
+def prefixed_name(col: Column, namespaces: dict[str, str] | None = None) -> Column:
+    """IRI -> `prefix-localName` (the DumpSplitter dataset naming,
+    scripts/DumpSplitter.scala:49-57) as a Catalyst expression chain over the
+    registry; unregistered namespaces fall back to the bare local name."""
+    ns = namespaces or NAMESPACES
+    expr = None
+    # longest namespace first so dbo: wins over a shorter shared base
+    for pfx, base in sorted(ns.items(), key=lambda kv: -len(kv[1])):
+        cond = col.startswith(base)
+        val = F.concat(F.lit(pfx + "-"), F.substring(col, len(base) + 1, 10_000))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(local_name(col))
+
+
 def local_name(col: Column) -> Column:
     """IRI -> local name after the last '/', '#' or ':' — the namespace-split
     used for predicate file naming (ref: utils/RdfNamespace.scala:45-56,

@@ -1,1 +1,11 @@
-from . import cc, dedup, grouping, joins, linking, similarity  # noqa: F401
+from . import (  # noqa: F401
+    cc,
+    dedup,
+    grouping,
+    joins,
+    linking,
+    mapping,
+    quadfilter,
+    similarity,
+    sort,
+)

@@ -1,0 +1,88 @@
+"""Global quad sorting — the reference's flagship external sort collapsed
+into Spark's range-partitioned sort (SURVEY.md §2.6/O3: the ~550-LoC
+sort/QuadSorter.scala:258-336 pipeline — chunking, prefix survey, rebalance,
+parallel merges, writer buckets, bash-cat concat — IS
+repartitionByRange + sortWithinPartitions + ordered part files).
+
+Ordering semantics: the reference compares by UTF-16 code points
+(sort/CodePointComparator.scala:19-43). Spark orders strings by UTF8String
+binary comparison, and UTF-8 byte order equals code-point order — including
+supplementary planes, where Java's String.compareTo (UTF-16 order) differs.
+So Spark's default ordering is EXACTLY the reference's comparator
+(verified in tests with astral-vs-BMP vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sort_quads(
+    quads: DataFrame,
+    target: str = "subject",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally sorted quads by the target field (utils/FilterTarget.scala:
+    9-22 field selection): range partition (sampled split points — the
+    prefix survey of QuadSorter.scala:65-112, natively) + in-partition sort.
+    Partition i's keys all precede partition i+1's, so ordered part files
+    form a globally sorted dataset without any concat step."""
+    parts = num_partitions or quads.sparkSession.sparkContext.defaultParallelism
+    return quads.repartitionByRange(parts, F.col(target)).sortWithinPartitions(target)
+
+
+def prefix_histogram(df: DataFrame, col: str, prefix_len: int = 1) -> DataFrame:
+    """Counts per key prefix — the skew survey (QuadSorter.extractCharMap,
+    sort/QuadSorter.scala:114-127; PrefixMap rebalance :129-166). Feeds the
+    salting decision: prefixes holding >1/parallelism of rows are 'hot'."""
+    return (
+        df.groupBy(F.substring(F.col(col), 1, prefix_len).alias("prefix"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+    )
+
+
+def hot_keys(df: DataFrame, col: str, threshold_fraction: float = 0.05) -> DataFrame:
+    """Keys holding more than threshold_fraction of all rows — candidates
+    for salted joins (the prefix-split analog, QuadSorter.scala:158-165)."""
+    total = df.count()
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > total * threshold_fraction)
+    )
+
+
+def is_globally_sorted(df: DataFrame, col: str) -> bool:
+    """Full-scan sortedness check across partition boundaries (the
+    QuadSorterTest invariant, QuadSorterTest.scala:36-54): per-partition
+    monotone AND partition max <= next partition min."""
+    import pandas as pd
+
+    def _minmax(batches):
+        lo = hi = None
+        ok = True
+        prev = None
+        for pdf in batches:
+            for v in pdf[col]:
+                if prev is not None and v < prev:
+                    ok = False
+                prev = v
+                if lo is None:
+                    lo = v
+                hi = v
+        yield pd.DataFrame({"lo": [lo], "hi": [hi], "ok": [ok]})
+
+    # per-partition (min, max, monotone?) via mapInPandas, which preserves
+    # the input partitioning; for range-partitioned data the collect order
+    # is the partition order
+    res = df.select(col).mapInPandas(_minmax, "lo string, hi string, ok boolean").collect()
+    res = [r for r in res if r.lo is not None]
+    if not all(r.ok for r in res):
+        return False
+    # partition order == physical order for range-partitioned data
+    for a, b in zip(res, res[1:]):
+        if a.hi > b.lo:
+            return False
+    return True

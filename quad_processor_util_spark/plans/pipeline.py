@@ -70,23 +70,38 @@ def extract_quads(
     Quad.scala:37) and per-turn toolUsed quads for tool turns."""
     spark = transcripts.sparkSession
     bc = spark.sparkContext.broadcast(dict(surface_to_iri))
+    return stable_order(transcripts).mapInPandas(
+        make_extract_fn(bc, policy), QUAD_SCHEMA
+    )
+
+
+def make_extract_fn(bc, policy: str = "LONGEST_DOMINANT_RIGHT"):
+    """Build the Arrow-batch extraction closure (shared by batch extract_quads
+    and streaming.ingest.streaming_extract)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = _get_gazetteer(bc)
+        tool_pred = EX + "toolUsed"
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                graph = f"http://example.org/conv/{r.conv_id}"
-                for q in extract_triples_from_text(r.text or "", gaz, graph, policy):
-                    rows.append((q.subject, q.predicate, q.obj, q.datatype,
-                                 q.language, q.graph, None))
-                if r.role == "tool" and isinstance(r.tool, str) and r.tool:
-                    turn_iri = f"http://example.org/conv/{r.conv_id}/turn/{r.turn_idx}"
-                    rows.append((turn_iri, EX + "toolUsed", r.tool,
-                                 XSD_STRING, None, graph, None))
-            yield pd.DataFrame(rows, columns=QUAD_FIELDS)
+            cols: dict[str, list] = {f: [] for f in QUAD_FIELDS}
+            app = [cols[f].append for f in QUAD_FIELDS]
+            for conv_id, turn_idx, role, text, tool in zip(
+                pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(),
+                pdf["role"].to_numpy(), pdf["text"].to_numpy(),
+                pdf["tool"].to_numpy(),
+            ):
+                graph = "http://example.org/conv/" + conv_id
+                for q in extract_triples_from_text(text or "", gaz, graph, policy):
+                    app[0](q.subject); app[1](q.predicate); app[2](q.obj)
+                    app[3](q.datatype); app[4](q.language); app[5](q.graph)
+                    app[6](None)
+                if role == "tool" and isinstance(tool, str) and tool:
+                    app[0](f"{graph}/turn/{turn_idx}"); app[1](tool_pred)
+                    app[2](tool); app[3](XSD_STRING); app[4](None)
+                    app[5](graph); app[6](None)
+            yield pd.DataFrame(cols, columns=QUAD_FIELDS)
 
-    return stable_order(transcripts).mapInPandas(_extract, QUAD_SCHEMA)
+    return _extract
 
 
 def canonicalize(

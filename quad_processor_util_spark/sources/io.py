@@ -83,6 +83,31 @@ def write_nt_lines(lines: DataFrame, path: str, compression: str | None = None) 
     w.text(path)
 
 
+def read_snapshots_union(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Multi-snapshot scan: union of table paths by name — the reference's
+    multi-file batched read (QuadReader.scala:92-156) where merge order was
+    an artifact and only grouping was semantic; downstream groupBy/join
+    supplies the grouping."""
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def write_composite(df: DataFrame, sinks: list) -> None:
+    """Multi-sink fan-out (destination/CompositeDestination.scala:13-35):
+    one logical dataset written to N sinks. DataFrames are re-usable plans;
+    persist() makes the fan-out single-scan."""
+    df = df.persist()
+    try:
+        df.count()  # materialize once
+        for sink in sinks:
+            sink(df)
+    finally:
+        df.unpersist()
+
+
 def write_quads_partitioned_by_predicate(
     quads: DataFrame, path: str, mode: str = "overwrite", meta: dict | None = None
 ) -> None:

@@ -37,35 +37,14 @@ def streaming_extract(
     intra-conversation ordering is not meaningful on an unbounded stream;
     extraction is per-turn, so semantics are unchanged. The repartition in
     stable_order is skipped: streams forbid arbitrary repartition+sort.)"""
-    # extract_quads' stable_order repartition works on streams too, but the
-    # sortWithinPartitions does not — call the mapInPandas body via a bounded
-    # wrapper: reuse extract_quads on a stream is fine because Spark allows
-    # repartition on streaming DFs; sortWithinPartitions it does not. So we
-    # re-derive the extraction here without the sort.
-    from ..plans.pipeline import _get_gazetteer  # shared worker-side cache
-    from ..functions.nt import QUAD_FIELDS, QUAD_SCHEMA
-    from ..oracle import EX, XSD_STRING, extract_triples_from_text
-
-    import pandas as pd
+    # sortWithinPartitions is not allowed on streams, so the batch path's
+    # stable_order is skipped here; extraction is per-turn so semantics are
+    # unchanged. The extraction closure itself is shared with batch.
+    from ..functions.nt import QUAD_SCHEMA
+    from ..plans.pipeline import make_extract_fn
 
     bc = stream.sparkSession.sparkContext.broadcast(dict(surface_to_iri))
-
-    def _extract(batches):
-        gaz = _get_gazetteer(bc)
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                graph = f"http://example.org/conv/{r.conv_id}"
-                for q in extract_triples_from_text(r.text or "", gaz, graph):
-                    rows.append((q.subject, q.predicate, q.obj, q.datatype,
-                                 q.language, q.graph, None))
-                if r.role == "tool" and isinstance(r.tool, str) and r.tool:
-                    turn_iri = f"http://example.org/conv/{r.conv_id}/turn/{r.turn_idx}"
-                    rows.append((turn_iri, EX + "toolUsed", r.tool,
-                                 XSD_STRING, None, graph, None))
-            yield pd.DataFrame(rows, columns=QUAD_FIELDS)
-
-    return stream.mapInPandas(_extract, QUAD_SCHEMA)
+    return stream.mapInPandas(make_extract_fn(bc), QUAD_SCHEMA)
 
 
 def turn_rate_windows(stream: DataFrame, window: str = "5 minutes",

@@ -152,14 +152,16 @@ class TestSimilarity:
         df, pdf = emb
         dim = len(pdf["embedding"].iloc[0])
         queries = df.where(F.col("vec_id") < 10)
-        got = lsh_topk(df, queries, dim=dim, k=5, planes=6, tables=8).toPandas()
+        # 64-dim near-uniform vectors are the hard case for hyperplane LSH:
+        # planes=4/tables=16 measured at 0.90 candidate recall on this data
+        got = lsh_topk(df, queries, dim=dim, k=5, planes=4, tables=16).toPandas()
         exp = self._oracle_topk(pdf, range(10), 5)
         hits = total = 0
         for q in range(10):
             mine = set(got[got.query_id == q]["neighbor_id"])
             hits += len(mine & set(exp[q]))
             total += 5
-        assert hits / total >= 0.5, f"LSH recall {hits/total}"
+        assert hits / total >= 0.8, f"LSH recall {hits/total}"
 
     def test_embedding_dedup_finds_self_similar(self, spark, emb):
         df, pdf = emb
