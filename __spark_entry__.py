@@ -44,6 +44,12 @@ _GAZ = {n: _DBR + n.replace(" ", "_") for n in _PEOPLE + _ORGS}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        # JVM case mapping (ASCII-identical): avoids a ~60s one-time ICU
+        # title-case table build on the first lower() of a fresh JVM
+        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    except Exception:
+        pass
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -263,7 +269,7 @@ def _q_extract_kg(spark, sf_dir):
 
 def _q_minhash_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.6).select("doc_id")
+    return minhash_dedup(docs, num_hashes=36, bands=6, threshold=0.7).select("doc_id")
 
 
 def _q_simhash(spark, sf_dir):
@@ -277,6 +283,107 @@ def _q_lsh_topk(spark, sf_dir):
     pdf_dim = len(emb.select("embedding").first()[0])
     return lsh_topk(emb, queries, dim=pdf_dim, k=3, planes=4, tables=16).select(
         "query_id", "rank", "neighbor_id"
+    )
+
+
+def _events_quads(spark, sf_dir):
+    """Deterministic quad table derived from events (shared by filter/star
+    view queries and their SQL oracles)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("http://example.org/user/"), F.col("user_id")).alias("subject"),
+        F.concat(F.lit("http://example.org/ontology/"), F.col("event_type")).alias("predicate"),
+        F.col("event_id").cast("string").alias("obj"),
+        F.lit("http://www.w3.org/2001/XMLSchema#string").alias("datatype"),
+        F.lit(None).cast("string").alias("language"),
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit("http://example.org/g/"), F.col("event_type")))
+        .alias("graph"),
+        F.lit(None).cast("string").alias("dataset"),
+    )
+
+
+def _q_quad_filter(spark, sf_dir):
+    from quad_processor_util_spark.operators.quadfilter import (
+        QuadFilterParams, quad_filter,
+    )
+
+    quads = _events_quads(spark, sf_dir)
+    p = QuadFilterParams(
+        predicates=["http://example.org/ontology/click",
+                    "http://example.org/ontology/view"],
+        graphs=["http://example.org/g/click"],
+    )
+    return quad_filter(quads, p).select("subject", "predicate", "obj", "graph")
+
+
+def _q_title_filter(spark, sf_dir):
+    from quad_processor_util_spark.operators.quadfilter import title_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    subj = F.concat(
+        F.lit("http://dbpedia.org/resource/"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("File:D"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("Template:D"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("Category:D"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("D"), F.col("doc_id"))),
+    )
+    df = docs.select(subj.alias("subject"))
+    return title_filter(df).select("subject")
+
+
+def _q_star_view(spark, sf_dir):
+    from quad_processor_util_spark.operators.grouping import star_view
+
+    ev = _t(spark, sf_dir, "events")
+    # per-user star: label quads from event types, plus type quads
+    quads = ev.select(
+        F.concat(F.lit("http://example.org/user/"), F.col("user_id")).alias("subject"),
+        F.when(F.col("event_id") % 2 == 0,
+               F.lit("http://www.w3.org/2000/01/rdf-schema#label"))
+        .otherwise(F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+        .alias("predicate"),
+        F.col("event_type").alias("obj"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("string").alias("dataset"),
+    )
+    sv = star_view(quads)
+    return sv.select(
+        "subject",
+        "label",
+        F.array_join("altLabels", ",").alias("alt_csv"),
+        F.array_join("types", ",").alias("types_csv"),
+        "n_quads",
+    )
+
+
+def _q_window_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("user_id", "rnk", "event_id")
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars2"),
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.stopword_ratio(F.col("text")).alias("stop_ratio"),
     )
 
 
@@ -299,6 +406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "lang_id": _q_lang_id,
         "extract_kg": _q_extract_kg,
+        "quad_filter": _q_quad_filter,
+        "title_filter": _q_title_filter,
+        "star_view": _q_star_view,
+        "window_topk": _q_window_topk,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
         # rows-only checks (hash-based ops not expressible in portable SQL)
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
@@ -497,6 +610,85 @@ def oracle_sql() -> dict[str, str]:
                    {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
                    'http://example.org/conv/' || user_id AS graph
             FROM events
+        """,
+        "quad_filter": """
+            SELECT 'http://example.org/user/' || user_id AS subject,
+                   'http://example.org/ontology/' || event_type AS predicate,
+                   CAST(event_id AS VARCHAR) AS obj,
+                   CASE WHEN event_id % 3 = 0
+                        THEN 'http://example.org/g/' || event_type END AS graph
+            FROM events
+            WHERE event_type IN ('click', 'view')
+              AND (event_id % 3 <> 0 OR event_type = 'click')
+        """,
+        "title_filter": """
+            SELECT 'http://dbpedia.org/resource/D' || doc_id AS subject
+            FROM documents WHERE doc_id % 5 IN (2, 3, 4)
+        """,
+        "star_view": """
+            WITH q AS (
+              SELECT 'http://example.org/user/' || user_id AS subject,
+                     CASE WHEN event_id % 2 = 0 THEN 'label' ELSE 'type' END AS kind,
+                     event_type AS obj
+              FROM events
+            ), agg AS (
+              SELECT subject,
+                     list_sort(list_distinct(coalesce(
+                         list(obj) FILTER (WHERE kind = 'label'), []))) AS labels,
+                     list_sort(list_distinct(coalesce(
+                         list(obj) FILTER (WHERE kind = 'type'), []))) AS types,
+                     count(*) AS n_quads
+              FROM q GROUP BY subject
+            )
+            SELECT subject,
+                   labels[1] AS label,
+                   array_to_string(labels[2:], ',') AS alt_csv,
+                   array_to_string(types, ',') AS types_csv,
+                   n_quads
+            FROM agg
+        """,
+        "window_topk": """
+            WITH r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events
+            )
+            SELECT user_id, rnk, event_id FROM r WHERE rnk <= 2
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))
+                       AS n_bpe_tokens,
+                   len(text) AS n_chars2
+            FROM documents
+        """,
+        "quality_score": r"""
+            WITH b AS (
+              SELECT doc_id, len(text) AS n,
+                     CASE WHEN len(text) > 0 THEN
+                          round(len(regexp_replace(text,
+                                '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+                                * 1.0 / len(text), 6)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+                          THEN round(len(list_filter(
+                                 string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x IN ('the','a','an','and','or','of',
+                                            'to','in','is','it')))
+                               * 1.0
+                               / len(string_split_regex(lower(trim(text)), '\s+')),
+                               6)
+                          ELSE 0.0 END AS sr
+              FROM documents
+            )
+            SELECT doc_id,
+                   round((CASE WHEN n BETWEEN 50 AND 5000 THEN 0.5 ELSE 0 END)::DOUBLE
+                         + (CASE WHEN pr < 0.1 THEN 0.25 ELSE 0 END)
+                         + (CASE WHEN sr > 0.05 THEN 0.25 ELSE 0 END), 6)::DOUBLE
+                       AS quality,
+                   sr::DOUBLE AS stop_ratio
+            FROM b
         """,
         # minhash_dedup / simhash / lsh_topk: seeded-hash ops, not portable
         # SQL — rows-only checks (driver's weaker gate), verified in pytest

@@ -129,21 +129,34 @@ def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 36,
+    bands: int = 6,
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
 ) -> DataFrame:
-    """Full near-dup pipeline: signatures -> banded candidates -> exact
-    Jaccard verification on candidates only -> connected groups collapsed to
-    min id. Returns the deduplicated df."""
+    """Full near-dup pipeline: signatures -> signature-group collapse ->
+    banded candidates among representatives -> exact Jaccard verification on
+    candidates only -> drop pair losers. Returns the deduplicated df.
+
+    The signature-group collapse (docs with ALL K minhashes equal -> min-id
+    representative) is the skew guard: duplicate-heavy corpora otherwise put
+    whole dup-clusters into single LSH buckets, making the candidate
+    self-join quadratic in cluster size. K identical minhashes ⇒ Jaccard ≈ 1
+    whp, so collapsing first preserves the semantics and bounds every bucket
+    by the number of DISTINCT near-dup classes."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
-    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    reps = sigs.groupBy(*mh_cols).agg(F.min(id_col).alias(id_col))
+    rep_sigs = reps.select(id_col, *mh_cols)
+    cands = minhash_lsh_candidates(rep_sigs, id_col, bands)
     verified = ngram_jaccard_pairs_from_candidates(
         df, cands, text_col, id_col, shingle_n, threshold
     )
-    return collapse_duplicate_pairs(df, verified, id_col)
+    rep_survivors = collapse_duplicate_pairs(
+        reps.select(id_col), verified, id_col
+    )
+    return df.join(rep_survivors, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -442,6 +442,26 @@ def apply_overlap_policy(mentions: list[Mention], policy: str = "LONGEST_DOMINAN
     raise ValueError(f"unknown overlap policy: {policy}")
 
 
+_CAP_RUN_RE = re.compile(r"(?<![A-Za-z0-9])[A-Z][a-z0-9]+(?: [A-Z][a-z0-9]+)*")
+
+
+def find_unknown_mentions(text: str, known: list[Mention]) -> list[str]:
+    """Capitalized-run spans NOT covered by a known gazetteer mention — the
+    candidate surface forms handed to fuzzy entity linking (the reference
+    retrieves candidates for unmatched fragments from Solr,
+    solr/SolrHandler.java:296-322). Returns distinct surfaces in order."""
+    out = []
+    seen = set()
+    for m in _CAP_RUN_RE.finditer(text):
+        s, e = m.start(), m.end()
+        if any(not (e <= k.start or s >= k.end) for k in known):
+            continue
+        if m.group(0) not in seen:
+            seen.add(m.group(0))
+            out.append(m.group(0))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Relation extraction over transcript text (the pipeline's extraction stage;
 # grouped-map analog of QuadMapper.mapSortedQuads, QuadMapper.scala:104-128)
@@ -464,6 +484,7 @@ _LABEL_RE = re.compile(r' is known as "((?:[^"\\]|\\.)*)"@([a-z][a-z0-9-]*)')
 def extract_triples_from_text(
     text: str, gaz: Gazetteer, graph: str | None,
     policy: str = "LONGEST_DOMINANT_RIGHT",
+    mentions: list[Mention] | None = None,
 ) -> list[PyQuad]:
     """Extract (subj, pred, obj) quads from one turn's text.
 
@@ -473,7 +494,8 @@ def extract_triples_from_text(
     3. `<m> has population N` -> xsd:integer literal;
     4. `<m> is known as "L"@lang` -> rdf:langString literal.
     """
-    mentions = apply_overlap_policy(gaz.find_all(text), policy)
+    if mentions is None:
+        mentions = apply_overlap_policy(gaz.find_all(text), policy)
     quads: list[PyQuad] = []
     for a, b in zip(mentions, mentions[1:]):
         between = text[a.end : b.start].strip().strip(",;").strip()

@@ -61,6 +61,7 @@ def extract_quads(
     transcripts: DataFrame,
     surface_to_iri: dict[str, str],
     policy: str = "LONGEST_DOMINANT_RIGHT",
+    emit_unknown: bool = False,
 ) -> DataFrame:
     """Mention detection + relation extraction per turn, as mapInPandas over
     conv-grouped, turn-ordered Arrow batches (extraction is per-turn, so
@@ -71,17 +72,24 @@ def extract_quads(
     spark = transcripts.sparkSession
     bc = spark.sparkContext.broadcast(dict(surface_to_iri))
     return stable_order(transcripts).mapInPandas(
-        make_extract_fn(bc, policy), QUAD_SCHEMA
+        make_extract_fn(bc, policy, emit_unknown), QUAD_SCHEMA
     )
 
 
-def make_extract_fn(bc, policy: str = "LONGEST_DOMINANT_RIGHT"):
+def make_extract_fn(bc, policy: str = "LONGEST_DOMINANT_RIGHT",
+                    emit_unknown: bool = False):
     """Build the Arrow-batch extraction closure (shared by batch extract_quads
-    and streaming.ingest.streaming_extract)."""
+    and streaming.ingest.streaming_extract). With emit_unknown, capitalized
+    runs not covered by gazetteer mentions are emitted as
+    (turn IRI, ex:mentionSurface, surface) placeholder quads for the fuzzy
+    linking stage (link_unknown_mentions)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..oracle import find_unknown_mentions
+
         gaz = _get_gazetteer(bc)
         tool_pred = EX + "toolUsed"
+        surf_pred = EX + "mentionSurface"
         for pdf in batches:
             cols: dict[str, list] = {f: [] for f in QUAD_FIELDS}
             app = [cols[f].append for f in QUAD_FIELDS]
@@ -91,10 +99,19 @@ def make_extract_fn(bc, policy: str = "LONGEST_DOMINANT_RIGHT"):
                 pdf["tool"].to_numpy(),
             ):
                 graph = "http://example.org/conv/" + conv_id
-                for q in extract_triples_from_text(text or "", gaz, graph, policy):
+                from ..oracle import apply_overlap_policy
+                ms = apply_overlap_policy(gaz.find_all(text or ""), policy)
+                for q in extract_triples_from_text(text or "", gaz, graph,
+                                                   policy, mentions=ms):
                     app[0](q.subject); app[1](q.predicate); app[2](q.obj)
                     app[3](q.datatype); app[4](q.language); app[5](q.graph)
                     app[6](None)
+                if emit_unknown:
+                    turn_iri = f"{graph}/turn/{turn_idx}"
+                    for surface in find_unknown_mentions(text or "", ms):
+                        app[0](turn_iri); app[1](surf_pred); app[2](surface)
+                        app[3](XSD_STRING); app[4](None); app[5](graph)
+                        app[6](None)
                 if role == "tool" and isinstance(tool, str) and tool:
                     app[0](f"{graph}/turn/{turn_idx}"); app[1](tool_pred)
                     app[2](tool); app[3](XSD_STRING); app[4](None)
@@ -138,6 +155,43 @@ def canonicalize(
     return out.select(*QUAD_FIELDS)
 
 
+def link_unknown_mentions(
+    quads: DataFrame,
+    catalog: DataFrame,
+    min_jaccard: float = 0.4,
+) -> DataFrame:
+    """Fuzzy entity linking for the unknown-mention placeholder quads emitted
+    by extract_quads(emit_unknown=True): the ex:mentionSurface quads are
+    replaced by (turn IRI, ex:mentions, <linked entity IRI>) object-property
+    quads via n-gram-blocked scored linking (operators.linking — the Solr
+    candidate retrieval + payload-BM25 analog, SolrHandler.java:296-322,
+    PayloadBM25SimilarityFacory.java:38-41). Unresolvable surfaces drop out.
+    Non-placeholder quads pass through unchanged."""
+    from ..operators.linking import link_surface_forms
+
+    surf_pred = EX + "mentionSurface"
+    placeholders = quads.where(F.col("predicate") == surf_pred)
+    rest = quads.where(F.col("predicate") != surf_pred)
+    links = link_surface_forms(
+        placeholders.select(F.col("obj").alias("surface")),
+        catalog, min_jaccard=min_jaccard,
+    )
+    linked = (
+        placeholders.join(F.broadcast(links),
+                          placeholders.obj == links.surface)
+        .select(
+            F.col("subject"),
+            F.lit(EX + "mentions").alias("predicate"),
+            F.col("entity_iri").alias("obj"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("language"),
+            F.col("graph"),
+            F.col("dataset"),
+        )
+    )
+    return rest.unionByName(linked)
+
+
 def materialize(quads: DataFrame, out_path: str, meta: dict | None = None) -> None:
     """Dedup on the 5-field identity then write partitioned by predicate
     label (DumpSplitter semantics)."""
@@ -151,16 +205,21 @@ def run_pipeline(
     alias_edges: DataFrame,
     out_path: str | None = None,
     policy: str = "LONGEST_DOMINANT_RIGHT",
+    fuzzy_link: bool = False,
 ) -> DataFrame:
-    """End-to-end: extract → canonicalize (CC over alias edges) → dedup
-    (→ optionally materialize partitioned by predicate). Returns the final
-    quad DataFrame. `catalog_pdf` is the pandas entity catalog (gazetteer
-    dimension — small by design, broadcast)."""
+    """End-to-end: extract (→ optional fuzzy mention linking) → canonicalize
+    (CC over alias edges) → dedup (→ optionally materialize partitioned by
+    predicate). Returns the final quad DataFrame. `catalog_pdf` is the pandas
+    entity catalog (gazetteer dimension — small by design, broadcast)."""
     from ..datagen import build_gazetteer
     from ..operators.cc import canonical_mapping
 
     gaz = build_gazetteer(catalog_pdf)
-    quads = extract_quads(transcripts, gaz.surface_to_iri, policy)
+    quads = extract_quads(transcripts, gaz.surface_to_iri, policy,
+                          emit_unknown=fuzzy_link)
+    if fuzzy_link:
+        spark_catalog = spark.createDataFrame(catalog_pdf)
+        quads = link_unknown_mentions(quads, spark_catalog)
     mapping, excluded = canonical_mapping(alias_edges)
     canon = canonicalize(quads, mapping, excluded)
     final = dedup_quads_df(canon)

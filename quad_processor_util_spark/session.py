@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # JVM (not ICU) case mapping for UTF8_BINARY lower/upper: identical
+        # on ASCII, and skips CollationAwareUTF8String's one-time ICU
+        # title-case table build (~60s of CPU on first lower() per JVM)
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # parquet scan sizing: at 100 TB this bounds task input so partitions
         # fit executor memory (reference analog: MAXMEMUSAGE chunking,
