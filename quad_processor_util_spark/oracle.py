@@ -384,6 +384,11 @@ class Gazetteer:
             ]
             if subs:
                 self._prefix_forms[long_f] = subs
+        # overlap-free gazetteers (no form is a substring of another) admit a
+        # single non-overlapping finditer pass — the hot-path fast case
+        self.has_overlaps = any(
+            f != g and f in g for f in forms for g in forms
+        )
 
     def find_all(self, text: str) -> list[Mention]:
         """All candidate matches incl. overlaps (policy ALL,
@@ -391,6 +396,14 @@ class Gazetteer:
         re-scanning from start+1 inside a covered span."""
         if self.rx is None:
             return []
+        if not self.has_overlaps:
+            # fast path: matches cannot overlap, finditer is leftmost-longest
+            # and already sorted by position — identical result, one pass
+            s2i = self.surface_to_iri
+            return [
+                Mention(m.start(), m.end(), m.group(0), s2i[m.group(0)])
+                for m in self.rx.finditer(text)
+            ]
         out: list[Mention] = []
         i = 0
         while True:
@@ -421,6 +434,12 @@ def apply_overlap_policy(mentions: list[Mention], policy: str = "LONGEST_DOMINAN
     ALL keeps everything; NO_SUB drops matches strictly contained in another;
     LONGEST_DOMINANT_RIGHT greedily keeps the longest match, ties going to
     the rightmost, then suppresses everything overlapping it."""
+    if not mentions:
+        return mentions
+    # overlap-free inputs (the fast find_all path) are already position-
+    # sorted and disjoint: every policy is the identity
+    if all(a.end <= b.start for a, b in zip(mentions, mentions[1:])):
+        return mentions
     if policy == "ALL":
         return sorted(mentions, key=lambda m: (m.start, m.end))
     if policy == "NO_SUB":

@@ -42,8 +42,12 @@ def stable_order(transcripts: DataFrame) -> DataFrame:
     """Stable turn ordering per conversation: explicit repartition by conv_id
     (north rule) + in-partition sort on (conv_id, turn_idx). One shuffle;
     downstream per-conv work reuses this partitioning. The window-function
-    equivalent (row_number over conv_id/turn_idx) is in turn_numbers()."""
-    parts = transcripts.sparkSession.sparkContext.defaultParallelism
+    equivalent (row_number over conv_id/turn_idx) is in turn_numbers().
+
+    Partition count follows spark.sql.shuffle.partitions (cluster-sized by
+    the session; a few× the core count so stragglers rebalance)."""
+    spark = transcripts.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return transcripts.repartition(parts, "conv_id").sortWithinPartitions(
         "conv_id", "turn_idx"
     )
@@ -62,16 +66,27 @@ def extract_quads(
     surface_to_iri: dict[str, str],
     policy: str = "LONGEST_DOMINANT_RIGHT",
     emit_unknown: bool = False,
+    assume_bucketed: bool = False,
 ) -> DataFrame:
     """Mention detection + relation extraction per turn, as mapInPandas over
     conv-grouped, turn-ordered Arrow batches (extraction is per-turn, so
     batch boundaries cannot split semantics; ordering gives deterministic
     within-conversation quad order). Emits the 7-field quad table with
     graph = http://example.org/conv/<conv_id> provenance (context column,
-    Quad.scala:37) and per-turn toolUsed quads for tool turns."""
+    Quad.scala:37) and per-turn toolUsed quads for tool turns.
+
+    With assume_bucketed=True the input is trusted to already be clustered
+    by conv_id and sorted by (conv_id, turn_idx) at rest (the engine's own
+    write path produces this; on Iceberg it is a bucket(conv_id) spec +
+    sorted write) and the repartition+sort is skipped — extraction runs
+    directly on scan partitions, zero shuffles before the dedup. This is the
+    100 TB fast path: never re-shuffle what the table layout already
+    guarantees (SURVEY.md §4, explicit conv_id bucketing).
+    """
     spark = transcripts.sparkSession
     bc = spark.sparkContext.broadcast(dict(surface_to_iri))
-    return stable_order(transcripts).mapInPandas(
+    src = transcripts if assume_bucketed else stable_order(transcripts)
+    return src.mapInPandas(
         make_extract_fn(bc, policy, emit_unknown), QUAD_SCHEMA
     )
 

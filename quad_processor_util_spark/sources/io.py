@@ -108,6 +108,31 @@ def write_composite(df: DataFrame, sinks: list) -> None:
         df.unpersist()
 
 
+def write_sorted_nt(
+    quads: DataFrame,
+    path: str,
+    target: str = "subject",
+    quads_mode: bool = False,
+    compression: str | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """The sort-quads launcher (SURVEY.md §3.1) end-to-end: globally sort by
+    the target field (range partition + in-partition sort — the whole
+    QuadSorter pipeline, sort/QuadSorter.scala:258-336) and write N-Triples/
+    N-Quads text part files whose lexicographic file order preserves the
+    global order (part-00000 < part-00001 …), replacing the reference's
+    bash-cat concat (IOUtils.scala:96-134)."""
+    from ..functions.nt import format_nt_exact
+    from ..operators.sort import sort_quads
+
+    sorted_quads = sort_quads(quads, target, num_partitions)
+    lines = format_nt_exact(sorted_quads, quads_mode=quads_mode)
+    w = lines.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
 def write_quads_partitioned_by_predicate(
     quads: DataFrame, path: str, mode: str = "overwrite", meta: dict | None = None
 ) -> None:

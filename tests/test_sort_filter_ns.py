@@ -167,6 +167,30 @@ class TestIoAndMapping:
         assert out.where(F.col("predicate").endswith("/inv")).count() == 2
 
 
+class TestWriteSortedNt:
+    def test_sorted_nt_dump_roundtrip(self, spark, tmp_path):
+        import glob
+
+        from quad_processor_util_spark.oracle import parse_nt_line
+        from quad_processor_util_spark.sources.io import write_sorted_nt
+
+        subjects = [f"http://ex.org/s{i:04d}" for i in range(500)]
+        import random
+        random.Random(7).shuffle(subjects)
+        df = _quads_df(spark, subjects)
+        out = str(tmp_path / "nt_out")
+        write_sorted_nt(df, out, num_partitions=4)
+        # read part files in name order -> globally sorted subjects
+        lines = []
+        for p in sorted(glob.glob(f"{out}/part-*")):
+            with open(p) as f:
+                lines.extend(ln.rstrip("\n") for ln in f if ln.strip())
+        parsed = [parse_nt_line(ln) for ln in lines]
+        assert all(q is not None for q in parsed)
+        subs = [q.subject for q in parsed]
+        assert subs == sorted(subjects)
+
+
 class TestMetrics:
     def test_observed_counts(self, spark):
         df = _quads_df(spark, ["s1", "s2", "s3"])

@@ -1,0 +1,61 @@
+"""Host-ceiling calibration: pure-Python multiprocessing extraction (no
+Spark, no JVM) at several process counts. Establishes what 4:1 scaling THIS
+machine can physically deliver for the extraction workload — the upper bound
+any engine measurement should be judged against (shared/virtualized boxes
+with SMT rarely deliver 1.0).
+
+Usage: python tools/host_ceiling.py  → one JSON line + markdown rows.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS_PER_PROC = 288_000
+
+
+def work(_):
+    from __spark_entry__ import _GAZ, _ORGS, _PEOPLE
+    from quad_processor_util_spark.oracle import Gazetteer, extract_triples_from_text
+
+    gaz = Gazetteer(_GAZ)
+    texts = [
+        f"{p} works at {o} number {i}."
+        for i, (p, o) in enumerate((pp, oo) for pp in _PEOPLE for oo in _ORGS)
+    ] * (ROWS_PER_PROC // 16)
+    c = 0
+    for t in texts:
+        c += len(extract_triples_from_text(t, gaz, "g"))
+    return c
+
+
+def main() -> None:
+    levels = [2, 4, 8, 16, 32]
+    rates: dict[int, float] = {}
+    for n in levels:
+        with mp.Pool(n) as p:
+            p.map(work, range(n))  # warm imports
+            t0 = time.time()
+            p.map(work, range(n))
+            dt = time.time() - t0
+        rates[n] = ROWS_PER_PROC * n / dt
+    pairs = {}
+    for lo in [2, 4, 8]:
+        hi = lo * 4
+        if hi in rates:
+            pairs[f"{lo}->{hi}"] = round(rates[hi] / rates[lo] / 4, 3)
+    print(json.dumps({
+        "rows_per_sec": {str(k): round(v) for k, v in rates.items()},
+        "pair_efficiency": pairs,
+        "cores_visible": mp.cpu_count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
