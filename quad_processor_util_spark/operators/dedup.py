@@ -83,11 +83,16 @@ def minhash_signatures(
     """-> (id_col, mh_0..mh_{K-1}): one explode + ONE groupBy with K min-aggs
     (map-side combine makes this a single shuffle of K longs per doc)."""
     coeffs = _perm_coeffs(num_hashes, seed)
+    # materialize the base hash ONCE per shingle row — the K permutations
+    # are affine transforms of it (inlining h into each agg would make
+    # codegen evaluate xxhash64 K times per row)
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    ).select(
+        id_col, F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE)).alias("__h")
     )
-    h = F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))
+    h = F.col("__h")
     aggs = [
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -147,7 +152,13 @@ def minhash_dedup(
     by the number of DISTINCT near-dup classes."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
-    reps = sigs.groupBy(*mh_cols).agg(F.min(id_col).alias(id_col))
+    # reps is consumed twice (candidate generation + survivor collapse);
+    # localCheckpoint cuts the lineage so the whole shingle->signature
+    # subtree runs ONCE instead of once per consumer
+    reps = (
+        sigs.groupBy(*mh_cols).agg(F.min(id_col).alias(id_col))
+        .localCheckpoint(eager=False)
+    )
     rep_sigs = reps.select(id_col, *mh_cols)
     cands = minhash_lsh_candidates(rep_sigs, id_col, bands)
     verified = ngram_jaccard_pairs_from_candidates(
@@ -213,9 +224,18 @@ def ngram_jaccard_pairs_from_candidates(
 ) -> DataFrame:
     """Exact Jaccard restricted to candidate (id_a, id_b) pairs — the verify
     step after LSH blocking. Shingle sets joined in as arrays, intersection
-    via array ops (no explode; candidate count is small by construction)."""
-    sets_df = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__set")
+    via array ops (no explode; candidate count is small by construction).
+    Only docs appearing in some candidate pair get their shingle set
+    computed (semi-join pushfilter), and only once."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets_df = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__set"))
+        .localCheckpoint(eager=False)
     )
     out = (
         candidates.join(sets_df.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")), "id_a")
