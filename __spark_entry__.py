@@ -268,20 +268,30 @@ def _q_extract_kg(spark, sf_dir):
 
 
 def _q_minhash_dedup(spark, sf_dir):
+    # md5-based signatures + concat band buckets: the exact pipeline is
+    # replayable in DuckDB (oracle below); default xxhash64 variant is the
+    # production path, covered by pytest
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, num_hashes=36, bands=6, threshold=0.7).select("doc_id")
+    return minhash_dedup(docs, num_hashes=36, bands=6, threshold=0.7,
+                         hash_kind="md5", bucket_kind="concat").select("doc_id")
 
 
 def _q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return simhash_signatures(docs).select("doc_id", "simhash")
+    return simhash_signatures(docs, bits=60, hash_kind="md5").select(
+        "doc_id", "simhash"
+    )
+
+
+# driver testdata embedding dimension (TESTDATA.md; array<float> schema does
+# not carry a length, and a driver-side .first() per query build is a scan)
+_EMB_DIM = 64
 
 
 def _q_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    pdf_dim = len(emb.select("embedding").first()[0])
-    return lsh_topk(emb, queries, dim=pdf_dim, k=3, planes=4, tables=16).select(
+    return lsh_topk(emb, queries, dim=_EMB_DIM, k=3, planes=4, tables=16).select(
         "query_id", "rank", "neighbor_id"
     )
 
@@ -412,7 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": _q_window_topk,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
-        # rows-only checks (hash-based ops not expressible in portable SQL)
+        # seeded-hash ops — gate variants use portable (md5 / inlined-
+        # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
         "lsh_topk": _q_lsh_topk,
@@ -456,6 +467,154 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+_GRAMS_SQL = """
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(t) - 2)])
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents)
+""".format(norm=_NORM)
+
+_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_oracle_sql(num_hashes: int = 36, bands: int = 6,
+                        threshold: float = 0.7, seed: int = 42) -> str:
+    """DuckDB replay of minhash_dedup(hash_kind='md5', bucket_kind='concat'):
+    the exact same base hash (first 15 md5 hex chars as a 60-bit int), the
+    same seeded affine permutations, signature-group collapse, band buckets,
+    candidate pairs, exact-jaccard verification, and loser drop."""
+    from quad_processor_util_spark.operators.dedup import _perm_coeffs
+
+    coeffs = _perm_coeffs(num_hashes, seed)
+    mh_aggs = ",\n         ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    mh_cols = ", ".join(f"mh_{i}" for i in range(num_hashes))
+    rpb = num_hashes // bands
+    banded = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bucket FROM reps"
+        .format(b=b, cols=", ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
+        for b in range(bands)
+    )
+    return f"""
+WITH grams AS ({_GRAMS_SQL}),
+h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(sh), 1, 15))::BIGINT % {_MERSENNE}) AS h
+  FROM (SELECT doc_id, unnest(g) AS sh FROM grams)
+),
+sig AS (
+  SELECT doc_id,
+         {mh_aggs}
+  FROM h GROUP BY doc_id
+),
+reps AS (
+  SELECT {mh_cols}, min(doc_id) AS doc_id FROM sig GROUP BY {mh_cols}
+),
+banded AS (
+{banded}
+),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT id_a, id_b
+  FROM cands
+  JOIN grams ga ON ga.doc_id = id_a
+  JOIN grams gb ON gb.doc_id = id_b
+  WHERE len(list_intersect(ga.g, gb.g)) * 1.0
+        / len(list_distinct(ga.g || gb.g)) >= {threshold}
+)
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT doc_id FROM reps)
+  AND doc_id NOT IN (SELECT id_b FROM ver)
+"""
+
+
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """DuckDB replay of simhash_signatures(bits=60, hash_kind='md5')."""
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    pack = "\n       + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({pack} AS BIGINT) AS simhash
+FROM sums
+"""
+
+
+def _lsh_topk_oracle_sql(dim: int = _EMB_DIM, k: int = 3, planes: int = 4,
+                         tables: int = 16, seed: int = 42) -> str:
+    """DuckDB replay of lsh_topk: the SAME seeded hyperplanes (inlined as
+    literals — both engines derive them from one deterministic generator),
+    sign-bit buckets per table, candidate bucket-join, exact cosine re-rank
+    on candidates only."""
+    from quad_processor_util_spark.operators.similarity import _hyperplanes
+
+    P = _hyperplanes(dim, planes, tables, seed)
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            "((list_dot_product(v, [{vec}]) >= 0)::BIGINT << {p})".format(
+                vec=", ".join(repr(x) for x in P[t][p]), p=p)
+            for p in range(planes)
+        )
+
+    banded = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {t} AS tbl, {bucket_expr(t)} AS bucket FROM c"
+        for t in range(tables)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS (
+{banded}
+),
+qb AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM banded WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM banded b JOIN qb q ON b.tbl = q.tbl AND b.bucket = q.bucket
+  WHERE b.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(cq.v, cc.v) AS sim
+  FROM cand
+  JOIN c cq ON cq.vec_id = query_id
+  JOIN c cc ON cc.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 """
 
 
@@ -565,7 +724,9 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
             )
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id,
+                   CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
             FROM g GROUP BY user_id
         """,
         "connected_components": """
@@ -690,7 +851,10 @@ def oracle_sql() -> dict[str, str]:
                    sr::DOUBLE AS stop_ratio
             FROM b
         """,
-        # minhash_dedup / simhash / lsh_topk: seeded-hash ops, not portable
-        # SQL — rows-only checks (driver's weaker gate), verified in pytest
-        # against python oracles instead.
+        # seeded-hash ops replayed exactly in SQL: the gate variants use
+        # md5-derived base hashes / concat band buckets / inlined seeded
+        # hyperplanes, all computable on both engines
+        "minhash_dedup": _minhash_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
+        "lsh_topk": _lsh_topk_oracle_sql(),
     }

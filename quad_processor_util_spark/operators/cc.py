@@ -1,12 +1,21 @@
-"""Connected components by iterative joins (large-star / small-star style),
+"""Connected components by iterative joins with pointer-jumping,
 for surface-form canonicalization over the alias graph.
 
 The reference resolves redirects/sameAs with driver-side hash maps
 (solr/SolrLoader.scala:41-84,176-197) — fine at 8 GB heap, impossible at
-10^12 rows. Here: alternating min-label propagation as pure DataFrame joins
-(the Kiveris et al. "Connected Components in MapReduce" shape), converging in
-O(log n) rounds, each round one shuffle on the node id. localCheckpoint
-truncates lineage so plans stay flat across iterations.
+10^12 rows. Here: min-label propagation PLUS label shortcutting — each round
+a node takes min(own label, neighbors' labels, label-of-its-label). The
+label-of-label join halves every label-chain per round (pointer jumping /
+path doubling, the same doubling that makes Kiveris et al.'s
+large-star/small-star converge in O(log n)), so deep redirect chains —
+common in alias graphs — resolve in O(log diameter) rounds, not
+O(diameter). Each round is two equi-joins + one agg, all shuffling on the
+node id. localCheckpoint truncates lineage so plans stay flat across
+iterations.
+
+If max_iter rounds pass without a fixpoint the function RAISES — silently
+returning partially-propagated labels would hand wrong canonicals
+downstream.
 
 Canonical = lexicographic MIN IRI of each component (deterministic).
 """
@@ -41,19 +50,30 @@ def connected_components(
         .select(F.col("a").alias("node"), "label")
     )
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
-        # propagate: node's new label = min(own, min over neighbors' labels)
+        # propagate: min over neighbors' labels ...
         neigh = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
             .select(F.col("a").alias("node"), "nlabel")
         )
+        # ... and shortcut: label of own label (pointer jumping — this is
+        # what turns O(diameter) propagation into O(log diameter))
+        hop = labels.select(
+            F.col("node").alias("__lbl"), F.col("label").alias("llabel")
+        )
         new_labels = (
             labels.join(neigh, "node", "left")
+            .join(hop, labels["label"] == hop["__lbl"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nlabel", F.col("label")),
+                    F.coalesce("llabel", F.col("label")),
+                ).alias("label"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -66,7 +86,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds — "
+            f"labels would be wrong; raise max_iter (rounds needed ≈ "
+            f"log2(graph diameter) with pointer jumping)"
+        )
     return labels.select("node", F.col("label").alias("canonical"))
 
 

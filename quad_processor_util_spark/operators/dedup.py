@@ -24,6 +24,22 @@ from ..functions.text import fingerprint
 _MERSENNE = (1 << 31) - 1
 
 
+def _base_hash(col, hash_kind: str) -> Column:
+    """64-bit-ish deterministic hash of a string column.
+
+    - ``xxhash64``: the JVM-native default (fastest, codegen'd).
+    - ``md5``: first 15 hex chars of md5 as a 60-bit integer — bit-exact
+      portable to DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``), used by
+      the correctness-gate variants so the oracle can replay the exact
+      signature pipeline.
+    """
+    if hash_kind == "xxhash64":
+        return F.xxhash64(col)
+    if hash_kind == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_kind: {hash_kind}")
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -79,18 +95,20 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_kind: str = "xxhash64",
 ) -> DataFrame:
     """-> (id_col, mh_0..mh_{K-1}): one explode + ONE groupBy with K min-aggs
     (map-side combine makes this a single shuffle of K longs per doc)."""
     coeffs = _perm_coeffs(num_hashes, seed)
     # materialize the base hash ONCE per shingle row — the K permutations
     # are affine transforms of it (inlining h into each agg would make
-    # codegen evaluate xxhash64 K times per row)
+    # codegen evaluate the base hash K times per row)
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
     ).select(
-        id_col, F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE)).alias("__h")
+        id_col,
+        F.pmod(_base_hash(F.col("__sh"), hash_kind), F.lit(_MERSENNE)).alias("__h"),
     )
     h = F.col("__h")
     aggs = [
@@ -104,15 +122,30 @@ def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
+    bucket_kind: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature into `bands` buckets; docs sharing any band bucket
-    are candidates. -> (id_a, id_b) with id_a < id_b, distinct."""
+    are candidates. -> (id_a, id_b) with id_a < id_b, distinct.
+
+    bucket_kind='xxhash64' hashes each band to a long (compact shuffle key,
+    the default); 'concat' joins the band values with '_' into a string —
+    identical grouping semantics, replayable in portable SQL (the gate
+    oracle)."""
     mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
     rows_per_band = len(mh_cols) // bands
+
+    def _bucket(b: int):
+        cols = [F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)]
+        if bucket_kind == "xxhash64":
+            return F.xxhash64(*cols)
+        if bucket_kind == "concat":
+            return F.concat_ws("_", *[c.cast("string") for c in cols])
+        raise ValueError(f"unknown bucket_kind: {bucket_kind}")
+
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(mh_cols[b * rows_per_band + r]) for r in range(rows_per_band)]).alias("bucket"),
+            _bucket(b).alias("bucket"),
         )
         for b in range(bands)
     ])
@@ -139,6 +172,8 @@ def minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    hash_kind: str = "xxhash64",
+    bucket_kind: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> signature-group collapse ->
     banded candidates among representatives -> exact Jaccard verification on
@@ -150,7 +185,8 @@ def minhash_dedup(
     self-join quadratic in cluster size. K identical minhashes ⇒ Jaccard ≈ 1
     whp, so collapsing first preserves the semantics and bounds every bucket
     by the number of DISTINCT near-dup classes."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              seed, hash_kind)
     mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
     # reps is consumed twice (candidate generation + survivor collapse);
     # localCheckpoint cuts the lineage so the whole shingle->signature
@@ -160,7 +196,7 @@ def minhash_dedup(
         .localCheckpoint(eager=False)
     )
     rep_sigs = reps.select(id_col, *mh_cols)
-    cands = minhash_lsh_candidates(rep_sigs, id_col, bands)
+    cands = minhash_lsh_candidates(rep_sigs, id_col, bands, bucket_kind)
     verified = ngram_jaccard_pairs_from_candidates(
         df, cands, text_col, id_col, shingle_n, threshold
     )
@@ -190,11 +226,13 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
     ).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
         F.col("__df") > max_shingle_df
     )
     sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
+    # sizes AFTER the df-cap: numerator and denominator must share the same
+    # shingle universe, or capped corpora silently underestimate jaccard
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "__sh")
@@ -267,17 +305,24 @@ def collapse_duplicate_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 64, hash_kind: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: token explode -> one groupBy with `bits` signed bit
-    sums -> sign bits packed back into a long. -> (id_col, simhash)."""
+    """SimHash: token explode -> one groupBy with `bits` signed bit sums ->
+    sign bits packed back into a long. -> (id_col, simhash).
+
+    hash_kind='md5' (use with bits<=60) is the DuckDB-replayable gate
+    variant — 60 usable hash bits, packed value always fits a positive
+    BIGINT on both engines."""
+    if hash_kind == "md5" and bits > 60:
+        raise ValueError("md5 hash_kind provides 60 bits")
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
         ).alias("__t"),
     )
-    h = F.xxhash64("__t")
+    h = _base_hash(F.col("__t"), hash_kind)
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

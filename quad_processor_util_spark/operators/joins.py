@@ -35,7 +35,19 @@ def salted_join(
     uniform random-ish salt derived from xxhash64 of all columns, so a single
     hot key spreads over K reducer partitions; the dim side is exploded ×K.
     Result is identical to a plain join (verified by oracle tests).
+
+    Only fact-preserving join types are allowed: the dim side is exploded
+    ×K, so right/full outer joins would emit K copies of every unmatched
+    dim row. (Each fact row carries exactly one salt, so inner/left/semi/
+    anti are exactly plain-join-equivalent.)
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded dim side "
+            f"would duplicate unmatched dim rows; use one of {sorted(allowed)}"
+        )
     fact_s = fact.withColumn(
         salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
     )

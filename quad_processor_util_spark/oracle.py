@@ -358,6 +358,35 @@ class Mention:
     entity_iri: str
 
 
+def _alnum(ch: str) -> bool:  # the regex word-boundary class [A-Za-z0-9]
+    return ("A" <= ch <= "Z") or ("a" <= ch <= "z") or ("0" <= ch <= "9")
+
+
+def _forms_may_overlap(forms: list[str]) -> bool:
+    """True if any two gazetteer matches could overlap in some text:
+    substring containment, or a nonempty proper suffix of one form equal to
+    a prefix of another (staggered overlap). O(F² · L) — gazetteers are
+    small dimensions by design."""
+    for a in forms:
+        for b in forms:
+            if a != b and a in b:
+                return True
+            # staggered: a's occurrence extends into b's (a starts first,
+            # b extends beyond). The shared region is a length-k suffix of a
+            # == prefix of b, and the word-boundary lookarounds additionally
+            # require non-alnum chars at b's start boundary (inside a) and at
+            # a's end boundary (inside b). Full-length k cases are the
+            # containment/equality branch above.
+            for k in range(1, min(len(a), len(b))):
+                if (
+                    a[-k:] == b[:k]
+                    and not _alnum(a[-k - 1])
+                    and not _alnum(b[k])
+                ):
+                    return True
+    return False
+
+
 class Gazetteer:
     """Compiled surface-form dictionary. One regex alternation (longest-first
     so the scanner is deterministic), word-boundary anchored — the vectorized
@@ -384,11 +413,57 @@ class Gazetteer:
             ]
             if subs:
                 self._prefix_forms[long_f] = subs
-        # overlap-free gazetteers (no form is a substring of another) admit a
-        # single non-overlapping finditer pass — the hot-path fast case
-        self.has_overlaps = any(
-            f != g and f in g for f in forms for g in forms
-        )
+        # overlap-free gazetteers admit a single non-overlapping finditer
+        # pass — the hot-path fast case. Two matches can overlap only if
+        # (a) one form is a substring of another (containment), or
+        # (b) a nonempty proper suffix of some form equals a prefix of
+        #     another at a non-alnum junction (staggered, e.g. 'New York'
+        #     vs 'York City' — the word-boundary lookarounds forbid alnum
+        #     junctions, so 'aba' can never self-overlap).
+        # Conservative over-flagging is safe (just takes the rescan path).
+        self.has_overlaps = _forms_may_overlap(forms)
+        # Static overlap-recovery tables for the batch extractor
+        # (plans/extract_vec.py). A match missed by a non-overlapping scan
+        # must START inside a found match of form g, at an interior offset k
+        # with g[k-1] non-alnum. What can match there is a property of the
+        # FORM STRING alone:
+        #   - _static_emits[g]: (k, end_off, sub) matches fully determined by
+        #     g's own text (the longest contained form at k plus its
+        #     boundary-clean prefix recoveries; k=0 rows are g's own prefix
+        #     recoveries) — emitted with zero regex work;
+        #   - _probe_offsets[g]: offsets where some form extends BEYOND g
+        #     (f[:len(g)-k] == g[k:], len(f) > len(g)-k) — only these need a
+        #     runtime anchored rx.match against the actual text.
+        self._static_emits: dict[str, list[tuple[int, int, str]]] = {}
+        self._probe_offsets: dict[str, list[int]] = {}
+        if self.has_overlaps:
+            for g in forms:
+                emits = [(0, len(sub), sub)
+                         for sub in self._prefix_forms.get(g, ())]
+                probes = []
+                for k in range(1, len(g)):
+                    if _alnum(g[k - 1]):
+                        continue
+                    rem = len(g) - k
+                    if any(len(f) > rem and f.startswith(g[k:]) for f in forms):
+                        probes.append(k)
+                        continue
+                    cont = [
+                        f for f in forms
+                        if len(f) <= rem and g.startswith(f, k)
+                        and (k + len(f) == len(g) or not _alnum(g[k + len(f)]))
+                    ]
+                    if cont:
+                        best = max(cont, key=len)
+                        emits.append((k, k + len(best), best))
+                        emits.extend(
+                            (k, k + len(sub), sub)
+                            for sub in self._prefix_forms.get(best, ())
+                        )
+                if emits:
+                    self._static_emits[g] = emits
+                if probes:
+                    self._probe_offsets[g] = probes
 
     def find_all(self, text: str) -> list[Mention]:
         """All candidate matches incl. overlaps (policy ALL,

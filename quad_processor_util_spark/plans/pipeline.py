@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.nt import QUAD_FIELDS, QUAD_SCHEMA, dedup_quads_df
-from ..oracle import EX, XSD_STRING, Gazetteer, extract_triples_from_text
+from ..oracle import EX, Gazetteer
 from ..sources.io import write_quads_partitioned_by_predicate
 
 # per-worker gazetteer cache: broadcast dict -> compiled Gazetteer
@@ -97,41 +97,19 @@ def make_extract_fn(bc, policy: str = "LONGEST_DOMINANT_RIGHT",
     and streaming.ingest.streaming_extract). With emit_unknown, capitalized
     runs not covered by gazetteer mentions are emitted as
     (turn IRI, ex:mentionSurface, surface) placeholder quads for the fuzzy
-    linking stage (link_unknown_mentions)."""
+    linking stage (link_unknown_mentions).
+
+    The closure is BATCH-vectorized (plans/extract_vec.py): one gazetteer
+    regex scan per Arrow batch over a joined mega-string, numpy offset
+    mapping, per-row Python only where mentions genuinely overlap —
+    semantics verified identical to the per-row oracle in
+    tests/test_extract_vec.py."""
+    from .extract_vec import extract_batch
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..oracle import find_unknown_mentions
-
         gaz = _get_gazetteer(bc)
-        tool_pred = EX + "toolUsed"
-        surf_pred = EX + "mentionSurface"
         for pdf in batches:
-            cols: dict[str, list] = {f: [] for f in QUAD_FIELDS}
-            app = [cols[f].append for f in QUAD_FIELDS]
-            for conv_id, turn_idx, role, text, tool in zip(
-                pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(),
-                pdf["role"].to_numpy(), pdf["text"].to_numpy(),
-                pdf["tool"].to_numpy(),
-            ):
-                graph = "http://example.org/conv/" + conv_id
-                from ..oracle import apply_overlap_policy
-                ms = apply_overlap_policy(gaz.find_all(text or ""), policy)
-                for q in extract_triples_from_text(text or "", gaz, graph,
-                                                   policy, mentions=ms):
-                    app[0](q.subject); app[1](q.predicate); app[2](q.obj)
-                    app[3](q.datatype); app[4](q.language); app[5](q.graph)
-                    app[6](None)
-                if emit_unknown:
-                    turn_iri = f"{graph}/turn/{turn_idx}"
-                    for surface in find_unknown_mentions(text or "", ms):
-                        app[0](turn_iri); app[1](surf_pred); app[2](surface)
-                        app[3](XSD_STRING); app[4](None); app[5](graph)
-                        app[6](None)
-                if role == "tool" and isinstance(tool, str) and tool:
-                    app[0](f"{graph}/turn/{turn_idx}"); app[1](tool_pred)
-                    app[2](tool); app[3](XSD_STRING); app[4](None)
-                    app[5](graph); app[6](None)
-            yield pd.DataFrame(cols, columns=QUAD_FIELDS)
+            yield extract_batch(pdf, gaz, policy, emit_unknown)
 
     return _extract
 
@@ -145,7 +123,16 @@ def canonicalize(
     SolrLoader.scala:124-127). For head-entity-skewed mapping tables swap the
     broadcast for operators.joins.salted_join."""
     m = F.broadcast(mapping)
-    ex = F.broadcast(excluded.select(F.col("iri")).distinct())
+    ex = F.broadcast(
+        excluded.select(F.col("iri")).distinct().withColumn("__x", F.lit(True))
+    )
+
+    def _flag(df: DataFrame, col: str, flag: str) -> DataFrame:
+        return df.join(
+            ex.select(F.col("iri").alias(col), F.col("__x").alias(flag)),
+            col, "left",
+        )
+
     out = (
         quads.join(
             m.select(F.col("node").alias("subject"), F.col("canonical").alias("__cs")),
@@ -154,18 +141,28 @@ def canonicalize(
             m.select(F.col("node").alias("obj"), F.col("canonical").alias("__co")),
             "obj", "left")
         .select(
+            F.col("subject").alias("__os"),
             F.coalesce("__cs", "subject").alias("subject"),
             "predicate",
+            F.col("obj").alias("__oo"),
             F.when(F.col("datatype").isNull(), F.coalesce("__co", "obj"))
             .otherwise(F.col("obj")).alias("obj"),
             "datatype", "language", "graph", "dataset",
         )
     )
-    out = out.join(ex.select(F.col("iri").alias("subject")), "subject", "left_anti")
-    out = out.join(
-        ex.select(F.col("iri").alias("obj")),
-        "obj",
-        "left_anti",
+    # exclusion parity with oracle.canonicalize_quads: drop when the ORIGINAL
+    # or the canonical subject is excluded; object exclusion applies only to
+    # URI objects (datatype IS NULL), again on original or canonical form
+    out = _flag(out, "__os", "__xs0")
+    out = _flag(out, "subject", "__xs1")
+    out = _flag(out, "__oo", "__xo0")
+    out = _flag(out, "obj", "__xo1")
+    out = out.where(
+        F.col("__xs0").isNull() & F.col("__xs1").isNull()
+        & (
+            F.col("datatype").isNotNull()
+            | (F.col("__xo0").isNull() & F.col("__xo1").isNull())
+        )
     )
     return out.select(*QUAD_FIELDS)
 

@@ -1,0 +1,138 @@
+"""Vectorized extraction (plans/extract_vec.extract_batch) must be
+byte-identical — rows, values, and per-row order — to the per-row oracle
+path (_extract_batch_rows), across policies, overlap shapes, and the
+fixture transcripts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quad_processor_util_spark.datagen import (
+    build_entity_catalog,
+    build_gazetteer,
+    build_transcripts,
+)
+from quad_processor_util_spark.oracle import Gazetteer
+from quad_processor_util_spark.plans.extract_vec import (
+    _extract_batch_rows,
+    extract_batch,
+)
+
+
+def _frame(texts, roles=None, tools=None):
+    n = len(texts)
+    return pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 3}" for i in range(n)],
+            "turn_idx": np.arange(n, dtype="int32"),
+            "role": roles or ["user"] * n,
+            "text": texts,
+            "tool": tools or [None] * n,
+            "ts": pd.Timestamp("2026-01-01"),
+        }
+    )
+
+
+ADVERSARIAL_TEXTS = [
+    "Ada Lovelace works at Turing Institute.",
+    "Alan Turing Institute is a staggered overlap trap.",  # staggered forms
+    "New York City has population 8000000.",
+    "Boston NOW covered Boston.com and Boston.",
+    'Grace Hopper is known as "The Grace"@en.',
+    'Edsger Dijkstra is known as "esc \\" quote"@pt-br.',
+    "York City York City New York City",  # repeated + shared tokens
+    "",  # empty
+    None,  # null text
+    "no mentions at all, just chit-chat",
+    "Ada Lovelace, founded Analytical Engines Ltd.",  # comma-stripped connector
+    "Turing Institute is located in Cambridge.",
+    "London has population 9000000. Cambridge has population 123456.",
+    "Unknown Capitalized Run and Another Unknown thing.",
+    "Ada Lovelace collaborated with Alan Turing.",
+    "Helsinki",  # bare mention, nothing else
+    "Knuth Press Knuth Press",  # adjacent same mentions, no connector
+]
+
+
+@pytest.fixture(scope="module")
+def gaz():
+    return build_gazetteer(build_entity_catalog())
+
+
+def _check_parity(pdf, gaz, policy="LONGEST_DOMINANT_RIGHT", emit_unknown=False):
+    got = extract_batch(pdf, gaz, policy, emit_unknown)
+    exp = _extract_batch_rows(pdf, gaz, policy, emit_unknown)
+    assert got.columns.tolist() == exp.columns.tolist()
+    assert len(got) == len(exp), f"{len(got)} vs {len(exp)}"
+    for c in got.columns:
+        a = got[c].tolist()
+        b = exp[c].tolist()
+        assert a == b, f"column {c}: first diff at " + str(
+            next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+        )
+
+
+@pytest.mark.parametrize("policy", ["LONGEST_DOMINANT_RIGHT", "ALL", "NO_SUB"])
+@pytest.mark.parametrize("emit_unknown", [False, True])
+def test_adversarial_parity(gaz, policy, emit_unknown):
+    roles = ["tool" if i % 5 == 0 else "user" for i in range(len(ADVERSARIAL_TEXTS))]
+    tools = ["search" if i % 5 == 0 else None for i in range(len(ADVERSARIAL_TEXTS))]
+    pdf = _frame(ADVERSARIAL_TEXTS, roles, tools)
+    _check_parity(pdf, gaz, policy, emit_unknown)
+
+
+@pytest.mark.parametrize("emit_unknown", [False, True])
+def test_fixture_transcripts_parity(gaz, emit_unknown):
+    pdf = build_transcripts(n_convs=80, seed=7)
+    _check_parity(pdf, gaz, emit_unknown=emit_unknown)
+
+
+def test_empty_batch(gaz):
+    pdf = _frame([])
+    out = extract_batch(pdf, gaz)
+    assert len(out) == 0
+    assert out.columns.tolist() == _extract_batch_rows(pdf, gaz, "ALL", False).columns.tolist()
+
+
+def test_nul_separator_fallback(gaz):
+    """Texts containing \\x00 take the exact per-row fallback."""
+    pdf = _frame(["Ada Lovelace works at Hopper Labs.", "weird\x00byte Ada Lovelace"])
+    _check_parity(pdf, gaz)
+
+
+def test_staggered_overlap_detected():
+    """ADVICE regression: 'New York' vs 'York City' are staggered (suffix of
+    one is a prefix of the other) — must take the overlap-aware path and
+    find BOTH candidate mentions in 'New York City'."""
+    g = Gazetteer({"New York": "http://e/NY", "York City": "http://e/YC"})
+    assert g.has_overlaps
+    found = {(m.start, m.end, m.surface) for m in g.find_all("New York City")}
+    assert (0, 8, "New York") in found
+    assert (4, 13, "York City") in found
+    pdf = _frame(["in New York City today", "York City New York, New York City"])
+    for policy in ["LONGEST_DOMINANT_RIGHT", "ALL", "NO_SUB"]:
+        _check_parity(pdf, g, policy)
+
+
+def test_self_overlapping_form():
+    # 'a b a' can overlap itself in 'a b a b a' (junctions are spaces, so the
+    # word-boundary lookarounds admit both occurrences)
+    g = Gazetteer({"a b a": "http://e/aba"})
+    assert g.has_overlaps
+    _check_parity(_frame(["a b a b a", "x a b a"]), g)
+    # 'aba' canNOT self-overlap: the junction char is alnum, which the
+    # boundary lookarounds reject — stays on the fast path
+    assert not Gazetteer({"aba": "http://e/aba"}).has_overlaps
+
+
+def test_overlap_free_gazetteer_fast_path():
+    g = Gazetteer({"alpha": "http://e/a", "beta": "http://e/b"})
+    assert not g.has_overlaps
+    _check_parity(_frame(["alpha met beta", "beta beta alpha"]), g)
+
+
+def test_empty_gazetteer():
+    g = Gazetteer({})
+    pdf = _frame(["Some Text here", "more"], roles=["tool", "user"],
+                 tools=["sql_runner", None])
+    _check_parity(pdf, g, emit_unknown=True)
