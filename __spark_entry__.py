@@ -388,6 +388,60 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+def _e2e_alias_edges(spark):
+    """Deterministic alias graph over the _GAZ entities (both engines know
+    these constants): a depth-2 chain that REWRITES Ada's subject IRI, a
+    sameAs that rewrites Turing Institute objects, a depth-12 redirect chain
+    into Grace Hopper (exercises the log-round CC without changing output),
+    and a disambiguation source that drops Knuth Press quads."""
+    rows = [
+        (_DBR + "Ada_Lovelace_(mathematician)", _DBR + "Ada_Lovelace", "redirect"),
+        (_DBR + "A0_Ada", _DBR + "Ada_Lovelace_(mathematician)", "sameAs"),
+        (_DBR + "AA_TI", _DBR + "Turing_Institute", "sameAs"),
+        (_DBR + "Knuth_Press", _DBR + "Knuth_Press_(publisher)", "disambiguation"),
+    ]
+    prev = _DBR + "Grace_Hopper"
+    for d in range(12):
+        node = _DBR + f"ZZGH_alias_{d}"
+        rows.append((node, prev, "redirect" if d % 2 == 0 else "sameAs"))
+        prev = node
+    return spark.createDataFrame(
+        rows, "src_iri string, dst_iri string, edge_kind string"
+    )
+
+
+def _q_pipeline_e2e(spark, sf_dir):
+    """End-to-end composition gate: extract -> CC canonicalize (+ excluded
+    anti-join) -> distinct quads. Mirrors the reference's solr-loader flow
+    (SolrLoader.scala:96-244) over driver tables."""
+    from quad_processor_util_spark.operators.cc import canonical_mapping
+    from quad_processor_util_spark.plans.pipeline import canonicalize
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    quads = extract_quads(tr, _GAZ)
+    mapping, excluded = canonical_mapping(_e2e_alias_edges(spark))
+    canon = canonicalize(quads, mapping, excluded)
+    return canon.select("subject", "predicate", "obj", "graph").distinct()
+
+
+def _q_camelcase_mint(spark, sf_dir):
+    """camelCase predicate minting from tool names (RichString.scala:70-74
+    toCamelCase; SURVEY §2 X10)."""
+    from quad_processor_util_spark.functions.uri import camel_case_expr, tool_predicate
+
+    ev = _t(spark, sf_dir, "events")
+    raw = F.concat(F.col("event_type"), F.lit("_tool_name"))
+    return (
+        ev.select(raw.alias("raw")).distinct()
+        .select(
+            "raw",
+            camel_case_expr(F.col("raw")).alias("camel"),
+            tool_predicate(F.col("raw")).alias("predicate"),
+        )
+        .orderBy("raw")
+    )
+
+
 def _q_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -422,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": _q_window_topk,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "camelcase_mint": _q_camelcase_mint,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
@@ -857,4 +913,44 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
+        # extract -> CC canonicalize -> excluded drop -> distinct: the
+        # canonical mapping over _e2e_alias_edges is deterministic constants
+        # (canonical = component-min IRI), inlined as CASE rewrites
+        "pipeline_e2e": f"""
+            WITH q AS (
+              SELECT {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
+                     'http://example.org/ontology/worksAt' AS predicate,
+                     {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
+                     'http://example.org/conv/' || user_id AS graph
+              FROM events
+            )
+            SELECT DISTINCT
+                   CASE subject WHEN '{_DBR}Ada_Lovelace'
+                        THEN '{_DBR}A0_Ada' ELSE subject END AS subject,
+                   predicate,
+                   CASE obj WHEN '{_DBR}Turing_Institute'
+                        THEN '{_DBR}AA_TI' ELSE obj END AS obj,
+                   graph
+            FROM q
+            WHERE obj != '{_DBR}Knuth_Press'
+        """,
+        "camelcase_mint": """
+            WITH w AS (
+              SELECT DISTINCT event_type || '_tool_name' AS raw FROM events
+            ), p AS (
+              SELECT raw,
+                     list_filter(string_split_regex(raw, '[\\s_]+'),
+                                 x -> x != '') AS parts
+              FROM w
+            ), c AS (
+              SELECT raw,
+                     parts[1] || array_to_string(
+                         [upper(substr(x, 1, 1)) || substr(x, 2)
+                          FOR x IN parts[2:]], '') AS camel
+              FROM p
+            )
+            SELECT raw, camel,
+                   'http://example.org/ontology/' || camel AS predicate
+            FROM c ORDER BY raw
+        """,
     }

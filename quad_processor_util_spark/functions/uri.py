@@ -125,3 +125,32 @@ def safe_partition_value(col: Column) -> Column:
     """Sanitize a predicate IRI into a filesystem-safe partition value
     (the `<nsPrefix>-<localName>` naming of DumpSplitter.scala:49-57)."""
     return F.regexp_replace(local_name(col), r"[^A-Za-z0-9_.-]", "_")
+
+
+def camel_case_expr(col: Column) -> Column:
+    """camelCase as a pure Catalyst expression: split on whitespace/
+    underscore runs, first word unchanged, remaining words get their first
+    char uppercased with the REST UNTOUCHED (initcap would lowercase it) —
+    ref: utils/RichString.scala:70-74 toCamelCase. JVM upper() is applied to
+    a single leading char; for the ligature edge cases (ß/ﬁ/ﬂ first chars)
+    use oracle.camel_case via a pandas UDF instead."""
+    words = F.filter(F.split(col, r"[\s_]+"), lambda w: w != "")
+    tail = F.aggregate(
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.lit(""),
+        lambda acc, w: F.concat(
+            acc,
+            F.upper(w.substr(F.lit(1), F.lit(1))),
+            w.substr(F.lit(2), F.length(w)),
+        ),
+    )
+    return F.when(F.size(words) == 0, F.lit("")).otherwise(
+        F.concat(F.element_at(words, 1), tail)
+    )
+
+
+def tool_predicate(col: Column, base: str = "http://example.org/ontology/") -> Column:
+    """Mint a predicate IRI from a tool name: `sql_runner` ->
+    ex:sqlRunner (the SURVEY §2 X10 mapping — camelCased predicate minting
+    from tool names)."""
+    return F.concat(F.lit(base), camel_case_expr(col))

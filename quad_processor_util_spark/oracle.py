@@ -159,6 +159,20 @@ def capitalize_first(s: str) -> str:
     return s[0].upper() + s[1:]
 
 
+_CAMEL_SPLIT_RE = re.compile(r"[\s_]+")
+
+
+def camel_case(s: str) -> str:
+    """Convert to camelCase: split on whitespace/underscore runs, keep the
+    first word unchanged, capitalize (ligature-safe) and concatenate the
+    rest (ref: utils/RichString.scala:70-74 toCamelCase with the default
+    split regex; capitalize is RichString.scala:48-53)."""
+    words = [w for w in _CAMEL_SPLIT_RE.split(s) if w]
+    if not words:
+        return ""
+    return words[0] + "".join(capitalize_first(w) for w in words[1:])
+
+
 def mint_dbpedia_iri(surface: str) -> str:
     """Canonical DBpedia-style IRI from a surface form: decode-to-fixpoint,
     clean space family, capitalize first, wikiEncode

@@ -18,7 +18,7 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -67,13 +67,18 @@ def run_checkpointed(
     """Process the transcript table bucket-by-bucket with resume.
 
     Each bucket: filter (partition-pruned by the bucket column once the
-    input is bucket-partitioned at rest) → `process` → append-write under
+    input is bucket-partitioned at rest) → `process` → write under
     bucket=<b>/ → ledger entry {turns_in, quads_out}. Buckets present in the
     ledger are skipped entirely. Dedup inside `process` is bucket-local;
     run a final global dedup compaction if cross-bucket identity collisions
     matter (conversations never span buckets, so graph-scoped quads cannot
     collide; only identical cross-conversation triples can).
-    Returns the full ledger state."""
+    Returns the full ledger state.
+
+    Counters ride the write itself via df.observe() — ONE job, ONE scan of
+    the input per bucket (the reference's LogRecorder counters accumulate
+    during the pass, LogRecorder.scala:234-251; a pre-count plus an output
+    re-read would triple-touch every byte at 100 TB)."""
     ledger = Ledger(ledger_path)
     done = ledger.completed()
     with_bucket = transcripts.withColumn("__bucket", bucket_expr(conv_col, n_buckets))
@@ -81,13 +86,18 @@ def run_checkpointed(
         if b in done:
             continue
         sub = with_bucket.where(F.col("__bucket") == b).drop("__bucket")
-        turns_in = sub.count()
+        obs_in = Observation()
+        sub = sub.observe(obs_in, F.count(F.lit(1)).alias("turns_in"))
         result = process(sub)
-        out = result.write.mode("overwrite")
+        obs_out = Observation()
+        result = result.observe(obs_out, F.count(F.lit(1)).alias("quads_out"))
         target = os.path.join(out_path, f"bucket={b}")
-        out.parquet(target)
-        quads_out = result.sparkSession.read.parquet(target).count()
-        metrics = {"turns_in": turns_in, "quads_out": quads_out, "output": target}
+        result.write.mode("overwrite").parquet(target)
+        metrics = {
+            "turns_in": obs_in.get["turns_in"],
+            "quads_out": obs_out.get["quads_out"],
+            "output": target,
+        }
         ledger.record(b, metrics)
         done[b] = metrics
     return done

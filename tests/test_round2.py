@@ -1,0 +1,172 @@
+"""Round-2 regression tests: log-round connected components on deep chains,
+non-convergence raising, salted_join join-type guard, canonicalize exclusion
+parity with the python oracle, camelCase minting, jaccard df-cap size
+universe, and the pipeline_e2e composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from quad_processor_util_spark.operators.cc import connected_components
+from quad_processor_util_spark.operators.dedup import ngram_jaccard_pairs
+from quad_processor_util_spark.operators.joins import salted_join
+from quad_processor_util_spark.oracle import (
+    PyQuad,
+    camel_case,
+    canonicalize_quads,
+)
+from quad_processor_util_spark.plans.pipeline import canonicalize
+
+
+def _chain_edges(spark, n):
+    rows = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n)]
+    return spark.createDataFrame(rows, "src_iri string, dst_iri string")
+
+
+class TestConnectedComponents:
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """A 100-hop redirect chain must resolve with the default max_iter
+        (pointer jumping: ~log2(100) ≈ 7 rounds, not 100)."""
+        out = connected_components(_chain_edges(spark, 100)).collect()
+        assert len(out) == 101
+        assert all(r.canonical == "n0000" for r in out)
+
+    def test_raises_instead_of_wrong_labels(self, spark):
+        """Exhausting max_iter must raise, never return partial labels."""
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            connected_components(_chain_edges(spark, 12), max_iter=1)
+
+    def test_cycle_and_tie_break(self, spark):
+        edges = spark.createDataFrame(
+            [("b", "c"), ("c", "a"), ("a", "b"), ("x", "y")],
+            "src_iri string, dst_iri string",
+        )
+        got = {r.node: r.canonical for r in connected_components(edges).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+class TestSaltedJoinGuard:
+    def test_unsupported_how_raises(self, spark):
+        df = spark.range(4).withColumnRenamed("id", "k")
+        for how in ["right", "full", "outer", "right_outer", "full_outer"]:
+            with pytest.raises(ValueError, match="salted_join"):
+                salted_join(df, df, "k", how=how)
+
+    def test_left_matches_plain_join(self, spark):
+        fact = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (9, "z")], "k int, v string"
+        )
+        dim = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, w string")
+        got = sorted(
+            tuple(r) for r in salted_join(fact, dim, "k", how="left").collect()
+        )
+        exp = sorted(tuple(r) for r in fact.join(dim, "k", "left").collect())
+        assert got == exp
+
+
+class TestCanonicalizeParity:
+    def test_exclusion_semantics_match_oracle(self, spark):
+        quads = [
+            # subject rewritten via mapping
+            PyQuad("e:alias1", "e:p", "e:obj1", None, None, "g"),
+            # ORIGINAL subject excluded -> dropped even though canonical isn't
+            PyQuad("e:badsrc", "e:p", "e:obj1", None, None, "g"),
+            # canonical subject excluded -> dropped
+            PyQuad("e:alias2", "e:p", "e:obj1", None, None, "g"),
+            # URI object excluded -> dropped
+            PyQuad("e:s1", "e:p", "e:badobj", None, None, "g"),
+            # LITERAL object equal to an excluded IRI -> KEPT (datatype set)
+            PyQuad("e:s2", "e:p", "e:badobj",
+                   "http://www.w3.org/2001/XMLSchema#string", None, "g"),
+            # URI object whose CANONICAL is excluded -> dropped
+            PyQuad("e:s3", "e:p", "e:alias3", None, None, "g"),
+            # plain survivor with object rewrite
+            PyQuad("e:s4", "e:p", "e:alias1", None, None, "g"),
+        ]
+        mapping = {"e:alias1": "e:canon1", "e:alias2": "e:badcanon",
+                   "e:alias3": "e:badobj", "e:badsrc": "e:okcanon"}
+        excluded = {"e:badsrc", "e:badcanon", "e:badobj"}
+
+        exp = {
+            (q.subject, q.predicate, q.obj, q.datatype, q.language)
+            for q in canonicalize_quads(quads, mapping, excluded)
+        }
+
+        qdf = spark.createDataFrame(
+            [(q.subject, q.predicate, q.obj, q.datatype, q.language, q.graph,
+              q.dataset) for q in quads],
+            "subject string, predicate string, obj string, datatype string, "
+            "language string, graph string, dataset string",
+        )
+        mdf = spark.createDataFrame(
+            list(mapping.items()), "node string, canonical string"
+        )
+        xdf = spark.createDataFrame([(i,) for i in excluded], "iri string")
+        got = {
+            (r.subject, r.predicate, r.obj, r.datatype, r.language)
+            for r in canonicalize(qdf, mdf, xdf).collect()
+        }
+        assert got == exp
+        assert ("e:s2", "e:p", "e:badobj",
+                "http://www.w3.org/2001/XMLSchema#string", None) in got
+
+
+class TestCamelCase:
+    CASES = ["sql_runner", "code_interpreter", "web browser tool",
+             "single", "a_b_c_d", "x", "trailing_", "_leading"]
+
+    def test_oracle_vs_expr_parity(self, spark):
+        from quad_processor_util_spark.functions.uri import camel_case_expr
+
+        df = spark.createDataFrame([(c,) for c in self.CASES], "raw string")
+        got = {r.raw: r.camel
+               for r in df.select("raw", camel_case_expr(F.col("raw"))
+                                  .alias("camel")).collect()}
+        for c in self.CASES:
+            assert got[c] == camel_case(c), c
+
+    def test_reference_semantics(self):
+        assert camel_case("sql_runner") == "sqlRunner"
+        assert camel_case("web browser tool") == "webBrowserTool"
+        assert camel_case("single") == "single"
+        # first word unchanged — including its case
+        assert camel_case("Already_cased") == "AlreadyCased"
+        # ligature-safe capitalize: ß never uppercased (RichString.scala:48-53)
+        assert camel_case("a ßword") == "aßword"
+
+
+class TestJaccardCapUniverse:
+    def test_sizes_use_post_cap_universe(self, spark):
+        """With a df-cap that removes a hot shingle, jaccard must be computed
+        over the filtered shingle universe on BOTH sides of the ratio."""
+        texts = [
+            (0, "common alpha beta gamma delta"),
+            (1, "common alpha beta gamma epsilon"),
+            (2, "common zeta eta theta iota"),
+            (3, "common zeta eta theta kappa"),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        # 3-gram shingles; every doc shares no full 3-gram with the others
+        # except within pairs (0,1) and (2,3). Cap at df>=4 removes nothing
+        # here; use shingle_n=1 (tokens) so 'common' (df=4) gets capped.
+        pairs = ngram_jaccard_pairs(df, shingle_n=1, threshold=0.5,
+                                    max_shingle_df=3).collect()
+        got = {(r.id_a, r.id_b): round(r.jaccard, 6) for r in pairs}
+        # post-cap universes: {alpha,beta,gamma,delta} vs {...epsilon}:
+        # inter=3, union=5 -> 0.6 (with 'common' in sizes it would be 3/7)
+        assert got == {(0, 1): 0.6, (2, 3): 0.6}
+
+
+class TestPipelineE2E:
+    def test_composition_rewrites_and_drops(self, spark, sf_dir):
+        import __spark_entry__ as em
+
+        rows = em.queries()["pipeline_e2e"](spark, sf_dir).collect()
+        assert rows
+        subjects = {r.subject for r in rows}
+        objs = {r.obj for r in rows}
+        dbr = "http://dbpedia.org/resource/"
+        assert dbr + "A0_Ada" in subjects          # Ada rewritten
+        assert dbr + "Ada_Lovelace" not in subjects
+        assert dbr + "AA_TI" in objs               # Turing Institute rewritten
+        assert dbr + "Turing_Institute" not in objs
+        assert dbr + "Knuth_Press" not in objs     # disambiguation dropped
