@@ -74,9 +74,15 @@ def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events-derived transcripts -> stable order -> vectorized
-    mention detection + triple extraction -> distinct quads."""
+    mention detection + triple extraction -> distinct quads.
+
+    assume_bucketed: the row_number window in _events_as_transcripts already
+    leaves rows conv-grouped and (ts, event_id)-ordered per conv — exactly
+    the clustering stable_order would re-create; re-shuffling it is a wasted
+    pass (the same zero-shuffle fast path an Iceberg bucket(conv_id)+sorted
+    layout gets)."""
     tr = _events_as_transcripts(spark, SF_DEFAULT)
-    quads = extract_quads(tr, _GAZ)
+    quads = extract_quads(tr, _GAZ, assume_bucketed=True)
     return quads.select("subject", "predicate", "obj", "graph").distinct()
 
 
@@ -262,8 +268,10 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_extract_kg(spark, sf_dir):
+    # assume_bucketed: the turn_idx window already conv-groups + turn-orders
+    # the rows (see entry()); stable_order's re-shuffle would be redundant
     tr = _events_as_transcripts(spark, sf_dir)
-    quads = extract_quads(tr, _GAZ)
+    quads = extract_quads(tr, _GAZ, assume_bucketed=True)
     return quads.select("subject", "predicate", "obj", "graph").distinct()
 
 
@@ -418,7 +426,7 @@ def _q_pipeline_e2e(spark, sf_dir):
     from quad_processor_util_spark.plans.pipeline import canonicalize
 
     tr = _events_as_transcripts(spark, sf_dir)
-    quads = extract_quads(tr, _GAZ)
+    quads = extract_quads(tr, _GAZ, assume_bucketed=True)
     mapping, excluded = canonical_mapping(_e2e_alias_edges(spark))
     canon = canonicalize(quads, mapping, excluded)
     return canon.select("subject", "predicate", "obj", "graph").distinct()
@@ -440,6 +448,27 @@ def _q_camelcase_mint(spark, sf_dir):
         )
         .orderBy("raw")
     )
+
+
+def _q_fuzzy_link(spark, sf_dir):
+    """Fuzzy entity linking gate: surfaces are the people names with spaces
+    stripped (a deterministic 'unseen spelling' both engines derive from the
+    same constants), linked against the inline catalog by char-3-gram
+    Jaccard × form-weight scoring (operators/linking.py — the Solr candidate
+    retrieval + payload-boost analog, SolrHandler.java:296-322)."""
+    from quad_processor_util_spark.operators.linking import link_surface_forms
+
+    ev = _t(spark, sf_dir, "events")
+    people = F.array(*[F.lit(p) for p in _PEOPLE])
+    surf = F.regexp_replace(
+        F.element_at(people, (F.col("event_id") % 4 + 1).cast("int")), " ", ""
+    )
+    mentions = ev.select(surf.alias("surface")).distinct()
+    catalog = spark.createDataFrame(
+        [(n, _GAZ[n], 1.0) for n in _PEOPLE + _ORGS],
+        "surface_form string, entity_iri string, form_weight double",
+    )
+    return link_surface_forms(mentions, catalog).orderBy("surface")
 
 
 def _q_quality_score(spark, sf_dir):
@@ -478,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "pipeline_e2e": _q_pipeline_e2e,
         "camelcase_mint": _q_camelcase_mint,
+        "fuzzy_link": _q_fuzzy_link,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
@@ -933,6 +963,43 @@ def oracle_sql() -> dict[str, str]:
                    graph
             FROM q
             WHERE obj != '{_DBR}Knuth_Press'
+        """,
+        "fuzzy_link": f"""
+            WITH surf AS (
+              SELECT DISTINCT
+                     replace({_PEOPLE_SQL}[(event_id % 4 + 1)::INT], ' ', '')
+                         AS surface
+              FROM events
+            ), cat(surface_form, entity_iri, form_weight) AS (
+              VALUES {", ".join(
+                  f"('{n}', '{_GAZ[n]}', 1.0)" for n in _PEOPLE + _ORGS)}
+            ), sg AS (
+              SELECT surface,
+                     list_distinct([substr(lower(trim(surface)), i, 3)
+                                    FOR i IN generate_series(
+                                        1, len(lower(trim(surface))) - 2)]) AS g
+              FROM surf
+            ), cg AS (
+              SELECT entity_iri, form_weight,
+                     list_distinct([substr(lower(trim(surface_form)), i, 3)
+                                    FOR i IN generate_series(
+                                        1, len(lower(trim(surface_form))) - 2)]) AS g
+              FROM cat
+            ), scored AS (
+              SELECT s.surface, c.entity_iri,
+                     len(list_intersect(s.g, c.g)) * 1.0
+                       / len(list_distinct(s.g || c.g)) * c.form_weight AS score,
+                     len(list_intersect(s.g, c.g)) * 1.0
+                       / len(list_distinct(s.g || c.g)) AS jaccard
+              FROM sg s CROSS JOIN cg c
+            ), ranked AS (
+              SELECT surface, entity_iri, score,
+                     row_number() OVER (PARTITION BY surface
+                                        ORDER BY score DESC, entity_iri) AS rn
+              FROM scored WHERE jaccard >= 0.4
+            )
+            SELECT surface, entity_iri, round(score, 6) AS score
+            FROM ranked WHERE rn = 1 ORDER BY surface
         """,
         "camelcase_mint": """
             WITH w AS (

@@ -30,15 +30,39 @@ def main() -> None:
     spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+
+    # bench the PRODUCTION hash variants (xxhash64, JVM-native): the gate
+    # queries() deliberately switch minhash/simhash to md5-based hashing so
+    # DuckDB can replay them — correct but slower, and not what a cluster
+    # deployment runs. Overriding here keeps round-over-round comparability
+    # with earlier BENCH_r*.json files (same operator, same hash).
+    from quad_processor_util_spark.operators.dedup import (
+        minhash_dedup as _mh, simhash_signatures as _sh,
+    )
+
+    def _bench_minhash(spark, sf):
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return _mh(docs, num_hashes=36, bands=6, threshold=0.7).select("doc_id")
+
+    def _bench_simhash(spark, sf):
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return _sh(docs).select("doc_id", "simhash")
+
+    qs["minhash_dedup"] = _bench_minhash
+    qs["simhash"] = _bench_simhash
+
     bench_names = [
         "extract_kg",
+        "pipeline_e2e",
         "tpch_q1",
         "star_join",
+        "star_view",
         "stable_turn_order",
         "dedup_exact",
         "minhash_dedup",
         "simhash",
+        "jaccard_pairs",
         "cosine_topk",
         "lsh_topk",
         "sessionize",
@@ -76,10 +100,40 @@ def main() -> None:
         if n == 0 and name not in ("anti_join",):
             print(f"# WARN {name}: 0 rows", file=sys.stderr)
 
-    # turns/sec over the flagship extraction (turns = event rows driven
-    # through the stable-order + extraction path)
-    n_turns = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
-    turns_per_sec = round(n_turns / timings["extract_kg"], 1)
+    # Flagship turns/sec at a compute-dominated scale: the sf0.1 events
+    # table (100k turns) finishes in a few seconds of mostly fixed job
+    # overhead at local[32], which hides the per-turn hot path entirely
+    # (see BENCH/BASELINE.md — same reasoning as the scaling protocol).
+    # Replicate the transcripts ×10 (~1M turns, distinct conv ids per
+    # replica), materialize UNTIMED, then time the full extraction path
+    # including the stable-order shuffle and the output distinct.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from __spark_entry__ import _events_as_transcripts as _tr
+
+    rep_dir = tempfile.mkdtemp(prefix="bench_turns_")
+    try:
+        big = (
+            _tr(spark, sf_dir)
+            .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(9))))
+            .withColumn("conv_id", F.concat_ws("#", "conv_id", "__r"))
+            .drop("__r")
+        )
+        big.write.mode("overwrite").parquet(rep_dir)
+        big = spark.read.parquet(rep_dir)
+        n_turns = big.count()
+        best_ext = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            extract_quads(big, _GAZ).select(
+                "subject", "predicate", "obj", "graph"
+            ).distinct().count()
+            best_ext = min(best_ext, time.time() - t0)
+        turns_per_sec = round(n_turns / best_ext, 1)
+    finally:
+        shutil.rmtree(rep_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

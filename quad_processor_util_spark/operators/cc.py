@@ -31,16 +31,32 @@ def connected_components(
     src: str = "src_iri",
     dst: str = "dst_iri",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """-> DataFrame(node STRING, canonical STRING): one row per node that
     appears in any edge; canonical is the component's min IRI (which may be
-    the node itself)."""
+    the node itself).
+
+    Graphs at or below `driver_threshold` edges take a driver-side
+    union-find fast path (the reference's in-memory redirect maps,
+    SolrLoader.scala:41-84 — correct engineering for a broadcast-sized
+    dimension: each iterative-join round costs ~seconds of fixed job
+    overhead that dwarfs a tiny graph). Larger graphs run the distributed
+    pointer-jumping loop; pass driver_threshold=0 to force it.
+    """
     spark = edges.sparkSession
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    if driver_threshold and e.count() <= driver_threshold:
+        from ..oracle import resolve_canonical
+
+        pairs = [(r.a, r.b, "sameAs") for r in e.collect()]
+        mapping, _ = resolve_canonical(pairs)
+        rows = sorted(mapping.items())
+        return spark.createDataFrame(rows, "node string, canonical string")
     # undirected closure: both directions, so min propagates either way
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # labels: every node starts labeled with min(self, min neighbor)

@@ -218,11 +218,20 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int = 1000,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard >= threshold via shingle inverted index:
-    explode -> self-join on shingle -> count intersections -> sizes join ->
-    |A∩B| / (|A|+|B|-|A∩B|). Shingles appearing in > max_shingle_df docs are
-    dropped (df-cap — the skew guard). -> (id_a, id_b, jaccard)."""
+    """Exact all-pairs Jaccard >= threshold via shingle inverted index.
+    Shingles appearing in > max_shingle_df docs are dropped (df-cap — the
+    skew guard). -> (id_a, id_b, jaccard).
+
+    With prefix_filter (default, the 100 TB path): shingles are ranked per
+    doc in global rarest-first order and only each doc's PREFIX — its first
+    |A| - ceil(t·|A|) + 1 shingles — enters the inverted-index self-join
+    (PPJoin-style prefix filtering: two sets with Jaccard ≥ t must share at
+    least one prefix element under any common total order, since missing the
+    whole prefix bounds the overlap below t·max(|A|,|B|)). Survivor pairs
+    get an exact verify on the full (capped) shingle sets. Identical output
+    to the naive quadratic join — only the candidate space shrinks."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
     ).distinct()
@@ -233,6 +242,57 @@ def ngram_jaccard_pairs(
     # sizes AFTER the df-cap: numerator and denominator must share the same
     # shingle universe, or capped corpora silently underestimate jaccard
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__freq"))
+        ranked = (
+            sh.join(freq, "__sh")
+            .withColumn(
+                "__pos",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("__freq", "__sh")
+                ),
+            )
+            .join(sizes, id_col)
+        )
+        # epsilon guards the ceil against upward float error at integer
+        # boundaries (a too-short prefix loses pairs; too long only costs)
+        prefix = ranked.where(
+            F.col("__pos")
+            <= F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1
+        ).select(id_col, "__sh")
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cands = (
+            a.join(b, "__sh")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        sets_df = sh.groupBy(id_col).agg(F.collect_list("__sh").alias("__set"))
+        out = (
+            cands.join(
+                sets_df.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")),
+                "id_a")
+            .join(
+                sets_df.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")),
+                "id_b")
+            .select(
+                "id_a", "id_b",
+                (
+                    F.size(F.array_intersect("__sa", "__sb"))
+                    / F.size(F.array_union("__sa", "__sb"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        return out
+
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "__sh")

@@ -25,23 +25,52 @@ def _chain_edges(spark, n):
 class TestConnectedComponents:
     def test_deep_chain_converges_in_log_rounds(self, spark):
         """A 100-hop redirect chain must resolve with the default max_iter
-        (pointer jumping: ~log2(100) ≈ 7 rounds, not 100)."""
-        out = connected_components(_chain_edges(spark, 100)).collect()
+        on the DISTRIBUTED path (pointer jumping: ~log2(100) ≈ 7 rounds,
+        not 100)."""
+        out = connected_components(
+            _chain_edges(spark, 100), driver_threshold=0
+        ).collect()
         assert len(out) == 101
         assert all(r.canonical == "n0000" for r in out)
 
     def test_raises_instead_of_wrong_labels(self, spark):
         """Exhausting max_iter must raise, never return partial labels."""
         with pytest.raises(RuntimeError, match="no fixpoint"):
-            connected_components(_chain_edges(spark, 12), max_iter=1)
+            connected_components(
+                _chain_edges(spark, 12), max_iter=1, driver_threshold=0
+            )
 
     def test_cycle_and_tie_break(self, spark):
         edges = spark.createDataFrame(
             [("b", "c"), ("c", "a"), ("a", "b"), ("x", "y")],
             "src_iri string, dst_iri string",
         )
-        got = {r.node: r.canonical for r in connected_components(edges).collect()}
-        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+        exp = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+        for thr in (0, 100_000):  # distributed and driver fast path agree
+            got = {
+                r.node: r.canonical
+                for r in connected_components(edges, driver_threshold=thr).collect()
+            }
+            assert got == exp, f"driver_threshold={thr}"
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        import random
+
+        rnd = random.Random(11)
+        rows = [
+            (f"v{rnd.randrange(60):03d}", f"v{rnd.randrange(60):03d}")
+            for _ in range(80)
+        ]
+        edges = spark.createDataFrame(rows, "src_iri string, dst_iri string")
+        fast = {
+            r.node: r.canonical
+            for r in connected_components(edges).collect()
+        }
+        dist = {
+            r.node: r.canonical
+            for r in connected_components(edges, driver_threshold=0).collect()
+        }
+        assert fast == dist
 
 
 class TestSaltedJoinGuard:
@@ -154,6 +183,28 @@ class TestJaccardCapUniverse:
         # post-cap universes: {alpha,beta,gamma,delta} vs {...epsilon}:
         # inter=3, union=5 -> 0.6 (with 'common' in sizes it would be 3/7)
         assert got == {(0, 1): 0.6, (2, 3): 0.6}
+
+
+class TestJaccardPrefixFilter:
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7, 0.9])
+    def test_prefix_filtered_equals_naive(self, spark, sf_dir, threshold):
+        """Prefix filtering is a lossless candidate reduction: output must be
+        identical to the naive quadratic join at every threshold."""
+        import os as _os
+
+        docs = spark.read.parquet(
+            _os.path.join(sf_dir, "documents.parquet")
+        ).limit(200)
+        kw = dict(shingle_n=3, threshold=threshold)
+        fast = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(docs, prefix_filter=True, **kw).collect()
+        }
+        naive = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(docs, prefix_filter=False, **kw).collect()
+        }
+        assert fast == naive
 
 
 class TestPipelineE2E:
