@@ -59,6 +59,53 @@ def turn_rate_windows(stream: DataFrame, window: str = "5 minutes",
     )
 
 
+def streaming_sessionize(
+    stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-conversation
+    session counting with a 30-minute inactivity gap (the streaming analog
+    of the batch `sessionize` gate query). State per conv_id = (last event
+    time, running session count, running turn count); each trigger emits the
+    running totals in `update` mode.
+
+    The per-key update is numpy-vectorized over the trigger's rows — no
+    per-row Python on the hot path; state is one tuple per conversation.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = float(gap_minutes) * 60.0
+    out_schema = "conv_id string, n_sessions long, n_turns long"
+    state_schema = "last_ts double, n_sessions long, n_turns long"
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            last_ts, n_sess, n_turns = state.get
+        else:
+            last_ts, n_sess, n_turns = None, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = np.sort(pdf["ts"].to_numpy().astype("datetime64[us]")
+                         .astype("int64")) / 1e6
+            prev = np.empty_like(ts)
+            prev[0] = last_ts if last_ts is not None else -1e18
+            prev[1:] = ts[:-1]
+            n_sess += int(((ts - prev) > gap).sum())
+            n_turns += int(len(ts))
+            last_ts = float(ts[-1])
+        state.update((last_ts, int(n_sess), int(n_turns)))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_sessions": [n_sess], "n_turns": [n_turns]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_parquet(
     quad_stream: DataFrame, out_path: str, checkpoint_path: str
 ):

@@ -131,6 +131,42 @@ def test_overlap_free_gazetteer_fast_path():
     _check_parity(_frame(["alpha met beta", "beta beta alpha"]), g)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _WORDS = ["Ada", "Ada Lovelace", "Lovelace", "New York", "York City",
+              "New York City", "Boston", "Boston NOW", "works", "at",
+              "has", "population", "is", "known", "as", "the", "42",
+              "café", '"x"@en', ",", ".", "a b a"]
+
+    @st.composite
+    def _texts(draw):
+        n = draw(st.integers(1, 12))
+        return " ".join(draw(st.sampled_from(_WORDS)) for _ in range(n))
+
+    _GAZ_FORMS = st.sets(
+        st.sampled_from(["Ada", "Ada Lovelace", "Lovelace", "New York",
+                         "York City", "New York City", "Boston",
+                         "Boston NOW", "a b a", "42"]),
+        min_size=1, max_size=8,
+    )
+
+    @given(forms=_GAZ_FORMS,
+           texts=st.lists(_texts(), min_size=1, max_size=8),
+           policy=st.sampled_from(["LONGEST_DOMINANT_RIGHT", "ALL", "NO_SUB"]),
+           emit_unknown=st.booleans())
+    @settings(max_examples=150, deadline=None)
+    def test_property_parity(forms, texts, policy, emit_unknown):
+        g = Gazetteer({f: f"http://e/{i}" for i, f in enumerate(sorted(forms))})
+        pdf = _frame(texts)
+        got = extract_batch(pdf, g, policy, emit_unknown)
+        exp = _extract_batch_rows(pdf, g, policy, emit_unknown)
+        assert got.values.tolist() == exp.values.tolist()
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_empty_gazetteer():
     g = Gazetteer({})
     pdf = _frame(["Some Text here", "more"], roles=["tool", "user"],

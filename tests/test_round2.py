@@ -207,6 +207,54 @@ class TestJaccardPrefixFilter:
         assert fast == naive
 
 
+class TestStreamingSessionize:
+    def test_stateful_sessionize_matches_batch_semantics(self, spark, tmp_path):
+        import pandas as pd
+
+        from quad_processor_util_spark.streaming.ingest import (
+            read_transcript_stream,
+            streaming_sessionize,
+        )
+
+        base = pd.Timestamp("2026-01-01 00:00:00")
+        mins = pd.Timedelta(minutes=1)
+        rows = []
+        # conv a: gaps 1m,45m,5m,90m -> 3 sessions, 5 turns
+        for i, off in enumerate([0, 1, 46, 51, 141]):
+            rows.append(("a", i, "user", f"t{i}", None, base + off * mins))
+        # conv b: single turn -> 1 session
+        rows.append(("b", 0, "user", "x", None, base))
+        # conv c: gaps exactly 30m are NOT new sessions (strict >)
+        for i, off in enumerate([0, 30, 60]):
+            rows.append(("c", i, "user", f"y{i}", None, base + off * mins))
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")  # all-null would infer int
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        pdf.to_parquet(str(src / "part-0.parquet"), index=False)
+
+        stream = read_transcript_stream(spark, str(src))
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sess_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql(
+            "SELECT conv_id, max_by(n_sessions, n_turns) AS n_sessions, "
+            "max(n_turns) AS n_turns FROM sess_out GROUP BY conv_id"
+        ).collect()
+        got = {r.conv_id: (r.n_sessions, r.n_turns) for r in out}
+        assert got == {"a": (3, 5), "b": (1, 1), "c": (1, 3)}
+
+
 class TestPipelineE2E:
     def test_composition_rewrites_and_drops(self, spark, sf_dir):
         import __spark_entry__ as em

@@ -21,17 +21,33 @@ ROWS_PER_PROC = 288_000
 
 
 def work(_):
+    """Per-process unit: the SAME vectorized batch extraction the engine
+    runs inside mapInPandas (plans/extract_vec.extract_batch), over pandas
+    batches of 10k rows — so the ceiling is measured on the real workload,
+    not a proxy."""
+    import numpy as np
+    import pandas as pd
+
     from __spark_entry__ import _GAZ, _ORGS, _PEOPLE
-    from quad_processor_util_spark.oracle import Gazetteer, extract_triples_from_text
+    from quad_processor_util_spark.oracle import Gazetteer
+    from quad_processor_util_spark.plans.extract_vec import extract_batch
 
     gaz = Gazetteer(_GAZ)
     texts = [
         f"{p} works at {o} number {i}."
         for i, (p, o) in enumerate((pp, oo) for pp in _PEOPLE for oo in _ORGS)
-    ] * (ROWS_PER_PROC // 16)
+    ]
+    batch = 10_000
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i % 97}" for i in range(batch)],
+        "turn_idx": np.arange(batch, dtype="int32"),
+        "role": ["user"] * batch,
+        "text": (texts * (batch // len(texts) + 1))[:batch],
+        "tool": [None] * batch,
+    })
     c = 0
-    for t in texts:
-        c += len(extract_triples_from_text(t, gaz, "g"))
+    for _i in range(ROWS_PER_PROC // batch):
+        c += len(extract_batch(pdf, gaz))
     return c
 
 

@@ -138,9 +138,9 @@ warm-up (JVM codegen, Python workers, Arrow init) excluded;
 trials per level, median reported (all trials listed).
 
 Machine: {multiprocessing.cpu_count()} logical cores visible, single node,
-shared/virtualized (minute-scale throughput variance observed; raw
-multiprocessing extraction on this host peaks at ~0.83–0.88 efficiency for
-the same 4:1 core ratios — the host, not the engine, is the ceiling).
+shared/virtualized (minute-scale throughput variance observed; the
+host-ceiling calibration section below gives what this box can physically
+deliver per 4:1 pair for the same vectorized workload).
 Command: `python tools/scaling_bench.py {sf_dir} {n} {repl} {trials}`
 
 | level | master | median wall sec | turns | median turns/sec | all trials (turns/sec) |
@@ -160,6 +160,12 @@ the regime a 1000-executor cluster reading 100 TB lives in; at toy scale
 (100k turns, ~4s wall) the same job is overhead-bound and no parallelism
 level helps, so the protocol mandates the scaled input.
 """)
+        # auxiliary evidence sections maintained outside this tool
+        for aux in ("ICEBERG.md", "CEILING.md"):
+            ap = os.path.join(REPO, "BENCH", aux)
+            if os.path.exists(ap):
+                with open(ap) as af:
+                    f.write("\n" + af.read())
 
 
 if __name__ == "__main__":
