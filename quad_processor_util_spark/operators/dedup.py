@@ -59,6 +59,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Re-spread a too-coarse input across the session's shuffle width.
+
+    Small/single-row-group parquet inputs scan as 1-2 partitions, which
+    serializes the expensive explode+aggregate stages that follow (a 32-core
+    box running a 36-agg shingle pipeline on one core). A 100 TB table scans
+    as thousands of splits and this is a no-op; the repartition only ever
+    moves the projected (id, text) columns."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles (distinct), pure expressions."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
@@ -103,7 +117,8 @@ def minhash_signatures(
     # materialize the base hash ONCE per shingle row — the K permutations
     # are affine transforms of it (inlining h into each agg would make
     # codegen evaluate the base hash K times per row)
-    sh = df.select(
+    src = _ensure_parallelism(df.select(id_col, text_col))
+    sh = src.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
     ).select(
@@ -232,7 +247,8 @@ def ngram_jaccard_pairs(
     whole prefix bounds the overlap below t·max(|A|,|B|)). Survivor pairs
     get an exact verify on the full (capped) shingle sets. Identical output
     to the naive quadratic join — only the candidate space shrinks."""
-    sh = df.select(
+    src = _ensure_parallelism(df.select(id_col, text_col))
+    sh = src.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
     ).distinct()
     hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
@@ -376,7 +392,8 @@ def simhash_signatures(
     BIGINT on both engines."""
     if hash_kind == "md5" and bits > 60:
         raise ValueError("md5 hash_kind provides 60 bits")
-    toks = df.select(
+    src = _ensure_parallelism(df.select(id_col, text_col))
+    toks = src.select(
         F.col(id_col),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
