@@ -1,23 +1,35 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata, processed by Arrow-batched mapInPandas.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched mapInPandas.
 
-The decode step itself is STUBBED (no image/audio libs in this container):
-`decode_image_batch` raises NotImplementedError unless `fake=True`, in which
-case a deterministic fake decoder (shape + checksum derived from the bytes)
-exercises the full Spark-side contract — schema, partitioning, UDF
-signature, Arrow batch shape — which is the part that matters at 100 TB.
+Decode is REAL for the library-free formats:
+- PPM (P6) images — pure numpy header parse + raster reshape, with
+  nearest-neighbor resize, 8×8 grayscale thumbnail features, and a 64-bit
+  average-hash (near-dup fingerprint that feeds the embedding-similarity
+  operators);
+- WAV PCM-16 audio — stdlib `wave` + numpy: sample rate, duration, RMS,
+  zero-crossing rate, 32-bin amplitude-histogram features.
+
+Codec formats that require absent libs (JPEG/PNG/MP3/MP4 …) remain STUBBED
+behind `on_unsupported`: 'error' raises NotImplementedError (declared,
+honest), 'fake' substitutes the deterministic checksum decoder so the
+Spark-side contract — schema, partitioning, UDF signature, Arrow batch
+shape — still runs end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, BinaryType, DoubleType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType([
@@ -74,6 +86,162 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     cols = media.select("media_id", "kind", "payload")
     return cols.mapInPandas(_decode, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real, library-free decoders
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval<=255) into an (h, w, 3) uint8 array.
+    Pure header tokenization + numpy frombuffer — no imaging library."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            i = nl + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    if toks[0] != b"P6":
+        raise ValueError(f"not a P6 PPM: {toks[0]!r}")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    off = i + 1  # exactly one whitespace byte after maxval
+    img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+    return img.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of decode_ppm (test/datagen helper)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, size: int = 8) -> np.ndarray:
+    """Nearest-neighbor resize to (size, size, C) — pure index arithmetic."""
+    h, w = img.shape[:2]
+    yi = np.minimum(np.arange(size) * h // size, h - 1)
+    xi = np.minimum(np.arange(size) * w // size, w - 1)
+    return img[yi][:, xi]
+
+
+def image_features(img: np.ndarray, thumb: int = 8) -> tuple[int, int, int, list, int]:
+    """(width, height, channels, thumb features, ahash): the 64-float
+    grayscale thumbnail doubles as an embedding for the similarity/near-dup
+    operators; ahash is the classic average-hash bit fingerprint."""
+    t = resize_nearest(img, thumb).astype(np.float64)
+    gray = t.mean(axis=2)
+    feat = (gray / 255.0).reshape(-1)
+    bits = (gray > gray.mean()).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return img.shape[1], img.shape[0], img.shape[2], [float(x) for x in feat], v
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode PCM-16 WAV bytes -> (sample_rate, (n, channels) int16 array).
+    stdlib `wave` + numpy only."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM-16 supported")
+        sr = wf.getframerate()
+        ch = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    return sr, np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
+
+
+def audio_features(sr: int, samples: np.ndarray, bins: int = 32
+                   ) -> tuple[float, float, float, list]:
+    """(duration_ms, rms, zero_crossing_rate, amplitude-histogram feature)."""
+    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = len(x)
+    dur = n / sr * 1000.0
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    hist, _ = np.histogram(np.abs(x), bins=bins, range=(0.0, 1.0))
+    feat = (hist / max(n, 1)).astype(np.float64)
+    return dur, rms, zcr, [float(v) for v in feat]
+
+
+DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("mime", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("zcr", DoubleType()),
+    StructField("ahash", LongType()),
+    StructField("feat", ArrayType(FloatType())),
+])
+
+_REAL_IMAGE_MIMES = {"image/x-portable-pixmap", "image/ppm"}
+_REAL_AUDIO_MIMES = {"audio/wav", "audio/x-wav", "audio/wave"}
+
+
+def decode_media(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """Real decode + feature extraction over binary payloads (mapInPandas,
+    Arrow batches). PPM images and PCM-16 WAV decode for real; other mimes
+    follow `on_unsupported`: 'error' raises NotImplementedError (the honest
+    stub for codec formats whose libs this container lacks), 'fake'
+    substitutes the deterministic checksum decoder, 'skip' drops the row.
+
+    The `feat` column is a fixed-dim float vector (64-d gray thumbnail for
+    images, 32-bin amplitude histogram for audio) directly consumable by
+    operators.similarity (cosine top-k / LSH / near-dup)."""
+    if on_unsupported not in ("error", "fake", "skip"):
+        raise ValueError(f"on_unsupported={on_unsupported!r}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "kind", "mime", "n_bytes", "width", "height",
+                "duration_ms", "rms", "zcr", "ahash", "feat"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                payload = bytes(r.payload) if r.payload is not None else b""
+                mime = r.mime or ""
+                if mime in _REAL_IMAGE_MIMES:
+                    w, h, _c, feat, ahash = image_features(decode_ppm(payload))
+                    rows.append((r.media_id, r.kind, mime, len(payload),
+                                 w, h, None, None, None, ahash, feat))
+                elif mime in _REAL_AUDIO_MIMES:
+                    sr, samples = decode_wav_pcm16(payload)
+                    dur, rms, zcr, feat = audio_features(sr, samples)
+                    rows.append((r.media_id, r.kind, mime, len(payload),
+                                 None, None, dur, rms, zcr, None, feat))
+                elif on_unsupported == "fake":
+                    checksum, feat_dim, feature_hash = _fake_decode(payload)
+                    rows.append((r.media_id, r.kind, mime, len(payload),
+                                 None, None, None, None, None,
+                                 feature_hash, [0.0] * feat_dim))
+                elif on_unsupported == "skip":
+                    continue
+                else:
+                    raise NotImplementedError(
+                        f"no decoder for mime {mime!r} in this container "
+                        f"(PPM/WAV decode for real; JPEG/PNG/MP3/MP4 need "
+                        f"libs that are not installed)"
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    cols = media.select("media_id", "kind", "mime", "payload")
+    return cols.mapInPandas(_decode, DECODED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
