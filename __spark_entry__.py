@@ -471,6 +471,40 @@ def _q_fuzzy_link(spark, sf_dir):
     return link_surface_forms(mentions, catalog).orderBy("surface")
 
 
+def _q_codepoint_order(spark, sf_dir):
+    """Global code-point ordering parity (the reference's CodePointComparator,
+    sort/CodePointComparator.scala:19-43): rank every document by binary
+    UTF-8 order of its text — Spark UTF8_BINARY == DuckDB BINARY collation ==
+    code-point order, incl. astral planes. Verifies the comparator the
+    global sort (operators/sort.py) relies on."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("text", "doc_id")
+    return docs.select("doc_id", F.row_number().over(w).alias("rn"))
+
+
+def _q_prefix_histogram(spark, sf_dir):
+    """Key-prefix skew survey (QuadSorter.extractCharMap,
+    sort/QuadSorter.scala:114-127) over document text."""
+    from quad_processor_util_spark.operators.sort import prefix_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_histogram(docs, "text", prefix_len=2)
+
+
+def _q_snapshots_union(spark, sf_dir):
+    """Multi-snapshot union scan (QuadReader.scala:92-156 analog): the same
+    table read as two snapshots, grouped downstream (merge order is an
+    artifact; grouping is the semantics)."""
+    from quad_processor_util_spark.sources.io import read_snapshots_union
+
+    p = os.path.join(sf_dir, "events.parquet")
+    return (
+        read_snapshots_union(spark, [p, p])
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -508,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": _q_pipeline_e2e,
         "camelcase_mint": _q_camelcase_mint,
         "fuzzy_link": _q_fuzzy_link,
+        "codepoint_order": _q_codepoint_order,
+        "prefix_histogram": _q_prefix_histogram,
+        "snapshots_union": _q_snapshots_union,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
@@ -1000,6 +1037,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT surface, entity_iri, round(score, 6) AS score
             FROM ranked WHERE rn = 1 ORDER BY surface
+        """,
+        "codepoint_order": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY text, doc_id) AS rn
+            FROM documents
+        """,
+        "prefix_histogram": """
+            SELECT substr(text, 1, 2) AS prefix,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        """,
+        "snapshots_union": """
+            SELECT event_id, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+            GROUP BY event_id
         """,
         "camelcase_mint": """
             WITH w AS (
