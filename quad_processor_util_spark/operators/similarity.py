@@ -166,6 +166,138 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Deterministic spherical k-means coarse quantizer: fit on a bounded,
+    hash-ordered sample (the standard IVF pattern — the quantizer is a tiny
+    model fit once on a sample, then APPLIED distributed; at 100 TB the
+    sample stays bounded and the fit stays a driver-side numpy job).
+    Returns an (n_lists, dim) float64 array of L2-normalized centroids."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit((1 << 31) - 1)), id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rnd = random.Random(seed)
+    init = sorted(rnd.sample(range(len(X)), min(n_lists, len(X))))
+    C = X[init].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[j] = m / n
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its nprobe nearest centroid lists (one numpy
+    matmul per Arrow batch — vectorized across rows and lists). nprobe=1 for
+    the corpus (each vector lives in ONE list), >1 for queries (probe
+    several lists). -> (id, vec, list_id) exploded ×nprobe."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype="float64")
+    in_schema = df.select(id_col, vec_col).schema
+    out_schema = StructType(list(in_schema.fields) + [
+        StructField("list_id", IntegerType()),
+    ])
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = X @ C.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                vec_col: np.repeat(pdf[vec_col].to_numpy(), nprobe),
+                "list_id": top.reshape(-1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed into coarse-quantizer lists
+    (one list per vector), queries probe their nprobe nearest lists, exact
+    cosine re-rank on candidates only. Complements lsh_topk: IVF adapts
+    buckets to the data distribution (good for clustered embeddings), LSH
+    is data-independent. Cost ~ nprobe/n_lists of the corpus per query."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(corpus, dim, n_lists, id_col=id_col,
+                                      vec_col=vec_col, seed=seed)
+    cb = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+    qb = (
+        ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed(vec_col, "__qv")
+    )
+    cands = (
+        cb.join(qb, "list_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__qv"),
+            F.col(vec_col).alias("__cv"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
 def embedding_cosine_dedup_pairs(
     df: DataFrame,
     dim: int,
