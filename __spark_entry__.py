@@ -505,6 +505,16 @@ def _q_snapshots_union(spark, sf_dir):
     )
 
 
+def _q_winnow_fp(spark, sf_dir):
+    """Robust-winnowing document fingerprints (rolling k-gram hash +
+    min-in-window selection, Schleimer et al.) — the rolling-hash
+    fingerprinting entry of the training-data family."""
+    from quad_processor_util_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=7, window=4)
+
+
 def _q_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -545,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codepoint_order": _q_codepoint_order,
         "prefix_histogram": _q_prefix_histogram,
         "snapshots_union": _q_snapshots_union,
+        "winnow_fp": _q_winnow_fp,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
@@ -1037,6 +1048,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT surface, entity_iri, round(score, 6) AS score
             FROM ranked WHERE rn = 1 ORDER BY surface
+        """,
+        "winnow_fp": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            g0 AS (
+              SELECT doc_id, greatest(len(t) - 6, 1) AS m,
+                     unnest([{{'pos': i,
+                              'h': ('0x' || substr(md5(substr(t, i, 7)), 1, 15))::BIGINT
+                                   % 2147483647}}
+                             FOR i IN generate_series(1, greatest(len(t) - 6, 1))]) AS u
+              FROM n
+            ), g AS (
+              SELECT doc_id, m, u.pos AS pos, u.h AS h FROM g0
+            ), s AS (
+              SELECT doc_id, pos, m,
+                     min(h * 1048576 + (1048575 - pos))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+              FROM g
+            )
+            SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp
+            FROM s WHERE pos <= greatest(m - 3, 1)
         """,
         "codepoint_order": """
             SELECT doc_id,

@@ -82,3 +82,60 @@ def fingerprint(col: Column) -> Column:
     (rolling-hash analog; md5 matches the reference's md5sum,
     utils/StringUtils.scala:261-269, and DuckDB's md5 for oracle checks)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling k-gram hash + min-in-window selection)
+# ---------------------------------------------------------------------------
+
+# key packing: (hash, rightmost-tie position) in one BIGINT so a plain
+# window MIN implements "min hash, ties to the RIGHT" (robust winnowing,
+# Schleimer et al. §3) — portable to any SQL engine
+_WINNOW_POS_SPAN = 1 << 20  # docs are chunked upstream; 1M-char guard
+
+
+def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 7, window: int = 4):
+    """-> (id_col, fp): robust-winnowing fingerprint set per document —
+    character k-gram hashes, one selected per sliding window of `window`
+    consecutive grams (the min, ties to the rightmost), distinct.
+
+    The classic guarantee: any shared substring of length >= k + window - 1
+    between two documents yields at least one shared fingerprint, while
+    storage is ~2/(window+1) of all grams. Dup candidates then come from an
+    inverted-index join on fp (tiny vs full shingle sets).
+
+    All pure Catalyst expressions: one posexplode over gram positions, one
+    window MIN over a packed (hash, -pos) key, one distinct. The k-gram
+    hash is the portable md5-prefix (same as the gate dedup variants), so
+    DuckDB replays this exactly. For >1M-char documents chunk upstream
+    (the pos packing reserves 20 bits)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    m = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    g = (
+        df.select(F.col(id_col), norm.alias("__t"), m.alias("__m"))
+        .select(id_col, "__t", "__m",
+                F.explode(F.sequence(F.lit(1), "__m")).alias("__pos"))
+        .select(
+            id_col, "__m", "__pos",
+            F.pmod(
+                F.conv(F.substring(F.md5(
+                    F.col("__t").substr(F.col("__pos"), F.lit(k))), 1, 15),
+                    16, 10).cast("long"),
+                F.lit((1 << 31) - 1),
+            ).alias("__h"),
+        )
+    )
+    key = (F.col("__h") * F.lit(_WINNOW_POS_SPAN)
+           + (F.lit(_WINNOW_POS_SPAN - 1) - F.col("__pos")))
+    w = W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    sel = (
+        g.select(id_col, "__m", "__pos", F.min(key).over(w).alias("__sel"))
+        .where(F.col("__pos") <= F.greatest(F.col("__m") - (window - 1), F.lit(1)))
+        .select(id_col, F.expr(f"__sel div {_WINNOW_POS_SPAN}").alias("fp"))
+        .distinct()
+    )
+    return sel

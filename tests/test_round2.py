@@ -207,6 +207,33 @@ class TestJaccardPrefixFilter:
         assert fast == naive
 
 
+class TestWinnowing:
+    def test_shared_substring_guarantee_and_selectivity(self, spark):
+        """Robust winnowing (k=7, w=4): any shared substring of length >=
+        k+w-1 = 10 yields a shared fingerprint; selected set is a strict
+        subset of all grams."""
+        from quad_processor_util_spark.functions.text import winnow_fingerprints
+
+        common = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame(
+            [(1, "AAA " + common + " xyz"),
+             (2, "qqq 12345 " + common + " ppp"),
+             (3, "totally unrelated content with zero overlap at all")],
+            "doc_id long, text string",
+        )
+        rows = winnow_fingerprints(df, k=7, window=4).collect()
+        fps = {}
+        for r in rows:
+            fps.setdefault(r.doc_id, set()).add(r.fp)
+        assert fps[1] & fps[2], "shared 44-char substring must share a fingerprint"
+        # selectivity: far fewer fingerprints than grams (~2/(w+1) density)
+        n_grams_1 = len("aaa " + common + " xyz") - 6
+        assert len(fps[1]) < n_grams_1 * 0.8
+        # determinism
+        again = winnow_fingerprints(df, k=7, window=4).collect()
+        assert {(r.doc_id, r.fp) for r in again} == {(r.doc_id, r.fp) for r in rows}
+
+
 class TestIVF:
     def test_recall_monotone_and_deterministic(self, spark, sf_dir):
         """IVF ANN: recall vs the exact baseline grows with nprobe and the
