@@ -129,8 +129,19 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
             ).alias("__h"),
         )
     )
-    key = (F.col("__h") * F.lit(_WINNOW_POS_SPAN)
-           + (F.lit(_WINNOW_POS_SPAN - 1) - F.col("__pos")))
+    # hard runtime guard: positions beyond the 20-bit packing span would
+    # silently corrupt both the min order and the recovered hash — fail
+    # loudly instead (chunk >1M-char documents upstream)
+    key = F.when(
+        F.col("__pos") < _WINNOW_POS_SPAN,
+        F.col("__h") * F.lit(_WINNOW_POS_SPAN)
+        + (F.lit(_WINNOW_POS_SPAN - 1) - F.col("__pos")),
+    ).otherwise(
+        F.raise_error(F.lit(
+            f"winnow_fingerprints: document exceeds {_WINNOW_POS_SPAN - 1} "
+            f"normalized chars — chunk it upstream"))
+        .cast("long")
+    )
     w = W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
     sel = (
         g.select(id_col, "__m", "__pos", F.min(key).over(w).alias("__sel"))

@@ -50,7 +50,11 @@ def connected_components(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    if driver_threshold and e.count() <= driver_threshold:
+    # size probe touches at most threshold+1 rows (a full e.count() would
+    # scan + shuffle the entire edge set once just to pick a strategy)
+    if driver_threshold and (
+        e.limit(driver_threshold + 1).count() <= driver_threshold
+    ):
         from ..oracle import resolve_canonical
 
         pairs = [(r.a, r.b, "sameAs") for r in e.collect()]

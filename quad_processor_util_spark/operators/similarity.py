@@ -194,7 +194,13 @@ def ivf_fit_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_fit_centroids: empty corpus")
     X = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    if X.shape[1] != dim:
+        raise ValueError(
+            f"ivf_fit_centroids: dim={dim} but vectors are {X.shape[1]}-d"
+        )
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rnd = random.Random(seed)
     init = sorted(rnd.sample(range(len(X)), min(n_lists, len(X))))

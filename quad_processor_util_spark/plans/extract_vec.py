@@ -27,8 +27,6 @@ executors' mapInPandas closures and inside pytest alike).
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 
@@ -56,9 +54,6 @@ _SURF_PRED = EX + "mentionSurface"
 _SEP = "\x00"
 
 
-_BOUNDARY_RE = re.compile(r"[^A-Za-z0-9]")
-
-
 def _find_mentions_mega(gaz: Gazetteer, mega: str):
     """All (start, end, surface) matches over the mega-string with exact
     oracle.find_all semantics: longest match at every matching start plus
@@ -80,7 +75,6 @@ def _find_mentions_mega(gaz: Gazetteer, mega: str):
         return []
     if not gaz.has_overlaps:
         return [(m.start(), m.end(), m.group(0)) for m in rx.finditer(mega)]
-    prefix_forms = gaz._prefix_forms
     static_emits = gaz._static_emits
     probe_offsets = gaz._probe_offsets
     # negated end stored so a PLAIN tuple sort gives the oracle's

@@ -85,11 +85,15 @@ def streaming_sessionize(
             last_ts, n_sess, n_turns = state.get
         else:
             last_ts, n_sess, n_turns = None, 0, 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ts = np.sort(pdf["ts"].to_numpy().astype("datetime64[us]")
-                         .astype("int64")) / 1e6
+        # a key's rows within one trigger may arrive as SEVERAL Arrow
+        # chunks — drain them all and sort ONCE, or chunk boundaries would
+        # feed out-of-order timestamps into the gap logic
+        chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
+        if chunks:
+            ts = np.sort(
+                pd.concat(chunks).to_numpy().astype("datetime64[us]")
+                .astype("int64")
+            ) / 1e6
             prev = np.empty_like(ts)
             prev[0] = last_ts if last_ts is not None else -1e18
             prev[1:] = ts[:-1]

@@ -17,7 +17,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROWS_PER_PROC = 288_000
+# must be a multiple of the 10k batch size below — throughput is credited
+# as ROWS_PER_PROC per process, so partial batches would inflate the figure
+ROWS_PER_PROC = 280_000
 
 
 def work(_):
