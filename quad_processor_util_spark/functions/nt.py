@@ -83,19 +83,34 @@ def parse_nt_expr(lines_df: DataFrame, line_col: str = "line") -> DataFrame:
     lang = g(5)
     dtype = g(6)
     graph = g(7)
+    # Empty captures are ambiguous ("group empty" vs "group didn't
+    # participate" — both extract ''), so `<>` tokens need structural
+    # discriminators: after the two leading URIs, a '<' starts a URI object;
+    # '"..."^^<' marks a typed literal; a further '<' before the final dot
+    # marks a graph. These match the exact-path (oracle) classification for
+    # degenerate empty URIs.
+    _pfx = r"^\s*<[^>]*>\s+<[^>]*>\s+"
+    _litp = _pfx + r'"(?:[^"\\]|\\.)*"'
+    is_uri_obj = c.rlike(_pfx + "<")
+    has_dtype = c.rlike(_litp + r"\^\^<")
+    has_graph = F.when(
+        is_uri_obj, c.rlike(_pfx + r"<[^>]*>\s+<")
+    ).otherwise(
+        c.rlike(_litp + r"(?:@[a-z][a-z0-9-]*|\^\^<[^>]*>)?\s+<")
+    )
     out = (
         lines_df.where(matched)
         .select(
             g(1).alias("subject"),
             g(2).alias("predicate"),
-            F.when(uri_obj != "", uri_obj).otherwise(lit).alias("obj"),
-            F.when(uri_obj != "", F.lit(None).cast("string"))
+            F.when(is_uri_obj, uri_obj).otherwise(lit).alias("obj"),
+            F.when(is_uri_obj, F.lit(None).cast("string"))
             .when(lang != "", F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
-            .when(dtype != "", dtype)
+            .when(has_dtype, dtype)
             .otherwise(F.lit(XSD_STRING))
             .alias("datatype"),
             F.when(lang != "", lang).cast("string").alias("language"),
-            F.when(graph != "", graph).cast("string").alias("graph"),
+            F.when(has_graph, graph).cast("string").alias("graph"),
             F.lit(None).cast("string").alias("dataset"),
         )
     )
@@ -137,8 +152,11 @@ def format_nt_expr(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
         .otherwise(F.concat(F.lit('"'), _escape_expr(o), F.lit('"^^<'), dt, F.lit(">")))
     )
     line = F.concat(F.lit("<"), s, F.lit("> <"), p, F.lit("> "), obj_part)
+    # empty-string graph counts as ABSENT, matching the oracle's falsy check
+    # (format_nt_line: `quads_mode and q.graph`)
+    has_graph = gr.isNotNull() & (gr != "")
     if quads_mode:
-        line = F.when(gr.isNotNull(), F.concat(line, F.lit(" <"), gr, F.lit(">"))).otherwise(line)
+        line = F.when(has_graph, F.concat(line, F.lit(" <"), gr, F.lit(">"))).otherwise(line)
     line = F.concat(line, F.lit(" ."))
     bad = (
         ~uri_ok(s) | ~uri_ok(p)
@@ -146,7 +164,7 @@ def format_nt_expr(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
         | (dt.isNotNull() & lang.isNull() & (dt != XSD_STRING) & ~uri_ok(dt))
     )
     if quads_mode:
-        bad = bad | (gr.isNotNull() & ~uri_ok(gr))
+        bad = bad | (has_graph & ~uri_ok(gr))
     return quads.select(
         F.when(bad, F.concat(F.lit("# "), line)).otherwise(line).alias("line")
     )

@@ -127,7 +127,11 @@ def canonical_mapping(
     """Split alias edges into equivalences (redirect/sameAs -> CC) and
     disambiguation sources (-> excluded set, the anti-join side,
     SolrLoader.scala:124-127). Returns (mapping(node, canonical), excluded(iri))."""
-    equiv = alias_edges.where(F.col(kind) != "disambiguation")
+    # NULL edge_kind counts as an equivalence (plain `!=` would silently
+    # drop the edge: NULL != 'disambiguation' is NULL, not true)
+    equiv = alias_edges.where(
+        F.col(kind).isNull() | (F.col(kind) != "disambiguation")
+    )
     excluded = (
         alias_edges.where(F.col(kind) == "disambiguation")
         .select(F.col(src).alias("iri"))

@@ -147,6 +147,12 @@ def minhash_lsh_candidates(
     identical grouping semantics, replayable in portable SQL (the gate
     oracle)."""
     mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    if len(mh_cols) % bands:
+        raise ValueError(
+            f"minhash_lsh_candidates: {len(mh_cols)} hashes not divisible by "
+            f"bands={bands} — trailing hashes would be silently ignored, "
+            f"changing the LSH S-curve"
+        )
     rows_per_band = len(mh_cols) // bands
 
     def _bucket(b: int):
@@ -393,13 +399,16 @@ def simhash_signatures(
     if hash_kind == "md5" and bits > 60:
         raise ValueError("md5 hash_kind provides 60 bits")
     src = _ensure_parallelism(df.select(id_col, text_col))
+    # materialize the base hash ONCE per token row — inlining it into each
+    # of the `bits` aggs would make codegen evaluate it `bits`× per row
+    # (same rationale as minhash_signatures)
     toks = src.select(
         F.col(id_col),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
         ).alias("__t"),
-    )
-    h = _base_hash(F.col("__t"), hash_kind)
+    ).select(id_col, _base_hash(F.col("__t"), hash_kind).alias("__h"))
+    h = F.col("__h")
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -421,6 +430,11 @@ def simhash_candidates(
     """Near-dup candidates: split the 64-bit signature into `bands` chunks;
     pairs agreeing on any chunk are candidates (catches hamming <= bands-1
     guaranteed), then filter exact hamming via bit_count(xor)."""
+    if 64 % bands:
+        raise ValueError(
+            f"simhash_candidates: 64 bits not divisible by bands={bands} — "
+            f"the top 64 % bands bits would be silently dropped"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     chunks = F.array(*[

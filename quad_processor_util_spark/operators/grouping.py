@@ -104,7 +104,9 @@ def star_view(quads: DataFrame, label_overflow: int = 1) -> DataFrame:
     is_subject_rel = p.endswith("subject")
     labels_sorted = F.sort_array(F.collect_set(F.when(is_label, F.col("obj"))))
     return quads.groupBy("subject").agg(
-        F.element_at(labels_sorted, 1).alias("label"),
+        # try_element_at: a subject with zero label quads has an EMPTY array
+        # here, and plain element_at throws under ANSI mode (Spark 4 default)
+        F.try_element_at(labels_sorted, F.lit(1)).alias("label"),
         F.slice(
             labels_sorted, label_overflow + 1,
             F.greatest(F.size(labels_sorted) - label_overflow, F.lit(0)),

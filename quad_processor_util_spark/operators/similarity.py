@@ -35,10 +35,14 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, pure expressions
-    (cast to double for a stable accumulation order)."""
+    (cast to double for a stable accumulation order). Zero-norm vectors
+    (failed/padded embeddings) get similarity 0.0 — the raw 0/0 would be
+    NaN, which Spark orders ABOVE every real similarity and would seize
+    rank 1 in every top-k."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    den = _norm(ad) * _norm(bd)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(_dot(ad, bd) / den)
 
 
 def cosine_topk(
@@ -234,6 +238,8 @@ def ivf_assign(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     C = np.asarray(centroids, dtype="float64")
+    # a tiny corpus can yield fewer centroids than requested probes
+    nprobe = min(nprobe, C.shape[0])
     in_schema = df.select(id_col, vec_col).schema
     out_schema = StructType(list(in_schema.fields) + [
         StructField("list_id", IntegerType()),

@@ -76,8 +76,12 @@ def is_globally_sorted(df: DataFrame, col: str) -> bool:
 
     # per-partition (min, max, monotone?) via mapInPandas, which preserves
     # the input partitioning; for range-partitioned data the collect order
-    # is the partition order
-    res = df.select(col).mapInPandas(_minmax, "lo string, hi string, ok boolean").collect()
+    # is the partition order. lo/hi keep the COLUMN'S OWN TYPE — a string
+    # cast would compare numeric boundaries lexicographically ('9' > '10')
+    dtype = df.schema[col].dataType.simpleString()
+    res = df.select(col).mapInPandas(
+        _minmax, f"lo {dtype}, hi {dtype}, ok boolean"
+    ).collect()
     res = [r for r in res if r.lo is not None]
     if not all(r.ok for r in res):
         return False

@@ -419,11 +419,14 @@ class Gazetteer:
         # must be recovered explicitly for the ALL policy
         self._prefix_forms: dict[str, list[str]] = {}
         for long_f in forms:
+            # boundary check must use the regex's ASCII class [A-Za-z0-9],
+            # not Unicode str.isalnum() — e.g. 'é' is non-boundary for the
+            # regex but alnum for Python, which would wrongly drop prefixes
             subs = [
                 f for f in forms
                 if len(f) < len(long_f)
                 and long_f.startswith(f)
-                and not long_f[len(f)].isalnum()
+                and not _alnum(long_f[len(f)])
             ]
             if subs:
                 self._prefix_forms[long_f] = subs

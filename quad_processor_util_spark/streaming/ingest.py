@@ -59,6 +59,37 @@ def turn_rate_windows(stream: DataFrame, window: str = "5 minutes",
     )
 
 
+def _sessionize_update(key, pdfs, state, gap: float):
+    """Per-key state transition for streaming_sessionize (module-level so
+    the multi-chunk / out-of-order behavior is unit-testable with a fake
+    GroupState). A key's rows within one trigger may arrive as SEVERAL
+    Arrow chunks — drain them all and sort ONCE, or chunk boundaries would
+    feed out-of-order timestamps into the gap logic."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        last_ts, n_sess, n_turns = state.get
+    else:
+        last_ts, n_sess, n_turns = None, 0, 0
+    chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
+    if chunks:
+        ts = np.sort(
+            pd.concat(chunks).to_numpy().astype("datetime64[us]")
+            .astype("int64")
+        ) / 1e6
+        prev = np.empty_like(ts)
+        prev[0] = last_ts if last_ts is not None else -1e18
+        prev[1:] = ts[:-1]
+        n_sess += int(((ts - prev) > gap).sum())
+        n_turns += int(len(ts))
+        last_ts = float(ts[-1])
+    state.update((last_ts, int(n_sess), int(n_turns)))
+    yield pd.DataFrame(
+        {"conv_id": [key[0]], "n_sessions": [n_sess], "n_turns": [n_turns]}
+    )
+
+
 def streaming_sessionize(
     stream: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:
@@ -78,32 +109,7 @@ def streaming_sessionize(
     state_schema = "last_ts double, n_sessions long, n_turns long"
 
     def fn(key, pdfs, state):
-        import numpy as np
-        import pandas as pd
-
-        if state.exists:
-            last_ts, n_sess, n_turns = state.get
-        else:
-            last_ts, n_sess, n_turns = None, 0, 0
-        # a key's rows within one trigger may arrive as SEVERAL Arrow
-        # chunks — drain them all and sort ONCE, or chunk boundaries would
-        # feed out-of-order timestamps into the gap logic
-        chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
-        if chunks:
-            ts = np.sort(
-                pd.concat(chunks).to_numpy().astype("datetime64[us]")
-                .astype("int64")
-            ) / 1e6
-            prev = np.empty_like(ts)
-            prev[0] = last_ts if last_ts is not None else -1e18
-            prev[1:] = ts[:-1]
-            n_sess += int(((ts - prev) > gap).sum())
-            n_turns += int(len(ts))
-            last_ts = float(ts[-1])
-        state.update((last_ts, int(n_sess), int(n_turns)))
-        yield pd.DataFrame(
-            {"conv_id": [key[0]], "n_sessions": [n_sess], "n_turns": [n_turns]}
-        )
+        yield from _sessionize_update(key, pdfs, state, gap)
 
     return stream.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

@@ -207,6 +207,132 @@ class TestJaccardPrefixFilter:
         assert fast == naive
 
 
+class TestReviewRegressions:
+    def test_star_view_labelless_subject_ansi(self, spark):
+        from quad_processor_util_spark.operators.grouping import star_view
+
+        quads = spark.createDataFrame(
+            [("e:s1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+              "e:T", None, None, None, None),
+             ("e:s2", "http://www.w3.org/2000/01/rdf-schema#label",
+              "L", None, None, None, None)],
+            "subject string, predicate string, obj string, datatype string, "
+            "language string, graph string, dataset string",
+        )
+        got = {r.subject: r.label for r in star_view(quads).collect()}
+        assert got == {"e:s1": None, "e:s2": "L"}
+
+    def test_gazetteer_non_ascii_boundary_prefix(self, spark):
+        from quad_processor_util_spark.oracle import Gazetteer
+        from quad_processor_util_spark.plans.extract_vec import (
+            _extract_batch_rows, extract_batch,
+        )
+        import numpy as np
+        import pandas as pd
+
+        g = Gazetteer({"New": "http://e/1", "Newé": "http://e/2"})
+        found = {(m.start, m.end, m.surface) for m in g.find_all("Newé")}
+        # 'é' is outside the regex boundary class, so 'New' matches at (0,3)
+        assert (0, 3, "New") in found and (0, 4, "Newé") in found
+        pdf = pd.DataFrame({
+            "conv_id": ["c"], "turn_idx": np.array([0], dtype="int32"),
+            "role": ["user"], "text": ["Newé and New"], "tool": [None],
+        })
+        for policy in ("ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"):
+            a = extract_batch(pdf, g, policy, False).values.tolist()
+            b = _extract_batch_rows(pdf, g, policy, False).values.tolist()
+            assert a == b
+
+    def test_cosine_zero_vector_not_rank1(self, spark):
+        from quad_processor_util_spark.operators.similarity import cosine_topk
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.where("vec_id = 0")
+        rows = cosine_topk(emb, q, k=2).collect()
+        assert [r.neighbor_id for r in rows] == [1, 3]  # zero vector last, not NaN-first
+
+    def test_ivf_small_corpus_nprobe_clamped(self, spark):
+        from quad_processor_util_spark.operators.similarity import ivf_topk
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.where("vec_id = 0")
+        rows = ivf_topk(emb, q, dim=2, k=2, n_lists=16, nprobe=4).collect()
+        assert rows and rows[0].neighbor_id == 1
+
+    def test_null_edge_kind_is_equivalence(self, spark):
+        from quad_processor_util_spark.operators.cc import canonical_mapping
+
+        edges = spark.createDataFrame(
+            [("e:b", "e:a", None), ("e:c", "e:b", "redirect")],
+            "src_iri string, dst_iri string, edge_kind string",
+        )
+        mapping, excluded = canonical_mapping(edges)
+        got = {r.node: r.canonical for r in mapping.collect()}
+        assert got == {"e:a": "e:a", "e:b": "e:a", "e:c": "e:a"}
+        assert excluded.count() == 0
+
+    def test_band_divisibility_raises(self, spark):
+        from quad_processor_util_spark.operators.dedup import (
+            minhash_signatures, minhash_lsh_candidates, simhash_candidates,
+        )
+
+        docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        sigs = minhash_signatures(docs, num_hashes=32)
+        with pytest.raises(ValueError, match="not divisible"):
+            minhash_lsh_candidates(sigs, bands=5)
+        sh = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
+        with pytest.raises(ValueError, match="not divisible"):
+            simhash_candidates(sh, bands=5)
+
+    def test_parse_expr_empty_uri_tokens_match_exact_path(self, spark):
+        from quad_processor_util_spark.functions.nt import (
+            parse_nt_expr, parse_nt_lines,
+        )
+
+        lines = spark.createDataFrame(
+            [("<http://s> <http://p> <> .",),
+             ('<http://s> <http://p> "" .',),
+             ('<http://s> <http://p> "x"^^<> .',),
+             ("<http://s> <http://p> <http://o> <> .",),
+             ('<http://s> <http://p> "y"@en <http://g> .',)],
+            "line string",
+        )
+        cols = ["subject", "predicate", "obj", "datatype", "language", "graph"]
+        key = lambda t: tuple("" if v is None else f"v{v}" for v in t)  # noqa: E731
+        a = sorted((tuple(r) for r in parse_nt_expr(lines).select(cols).collect()),
+                   key=key)
+        b = sorted((tuple(r) for r in parse_nt_lines(lines).select(cols).collect()),
+                   key=key)
+        assert a == b
+
+    def test_format_expr_empty_graph_matches_oracle(self, spark):
+        from quad_processor_util_spark.functions.nt import format_nt_expr
+        from quad_processor_util_spark.oracle import PyQuad, format_nt_line
+
+        q = PyQuad("http://s", "http://p", "http://o", None, None, "")
+        df = spark.createDataFrame(
+            [(q.subject, q.predicate, q.obj, q.datatype, q.language, q.graph,
+              q.dataset)],
+            "subject string, predicate string, obj string, datatype string, "
+            "language string, graph string, dataset string",
+        )
+        got = format_nt_expr(df, quads_mode=True).collect()[0].line
+        assert got == format_nt_line(q, quads_mode=True, turtle=True)
+
+    def test_is_globally_sorted_numeric(self, spark):
+        from quad_processor_util_spark.operators.sort import is_globally_sorted
+
+        df = spark.range(0, 30).withColumnRenamed("id", "k")
+        srt = df.repartitionByRange(3, "k").sortWithinPartitions("k")
+        assert is_globally_sorted(srt, "k")  # '9' > '10' lexicographic trap
+
+
 class TestWinnowing:
     def test_shared_substring_guarantee_and_selectivity(self, spark):
         """Robust winnowing (k=7, w=4): any shared substring of length >=
@@ -267,7 +393,47 @@ class TestIVF:
         assert a == b
 
 
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
 class TestStreamingSessionize:
+    def test_multi_chunk_out_of_order_within_trigger(self):
+        """Chunk boundaries within one trigger must not corrupt the gap
+        logic: two chunks delivered with later timestamps first must give
+        the same result as one sorted chunk."""
+        import pandas as pd
+
+        from quad_processor_util_spark.streaming.ingest import _sessionize_update
+
+        base = pd.Timestamp("2026-01-01 12:00:00")
+        h = pd.Timedelta(hours=1)
+        chunk_late = pd.DataFrame({"ts": [base, base + h]})
+        chunk_early = pd.DataFrame({"ts": [base - 3 * h]})
+        st = _FakeGroupState()
+        out = list(_sessionize_update(("a",), iter([chunk_late, chunk_early]),
+                                      st, gap=1800.0))[0]
+        # sorted: -3h | 0h | +1h -> 3 sessions (each gap > 30min)
+        assert out.n_sessions.iloc[0] == 3 and out.n_turns.iloc[0] == 3
+        # last_ts is the true max, not the last chunk's tail
+        assert st.get[0] == (base + h).timestamp()
+        # second trigger 10 minutes after the max: same session
+        st2_chunk = pd.DataFrame({"ts": [base + h + pd.Timedelta(minutes=10)]})
+        out2 = list(_sessionize_update(("a",), iter([st2_chunk]), st, gap=1800.0))[0]
+        assert out2.n_sessions.iloc[0] == 3 and out2.n_turns.iloc[0] == 4
+
     def test_stateful_sessionize_matches_batch_semantics(self, spark, tmp_path):
         import pandas as pd
 
