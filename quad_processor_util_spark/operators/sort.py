@@ -45,13 +45,14 @@ def prefix_histogram(df: DataFrame, col: str, prefix_len: int = 1) -> DataFrame:
 
 def hot_keys(df: DataFrame, col: str, threshold_fraction: float = 0.05) -> DataFrame:
     """Keys holding more than threshold_fraction of all rows — candidates
-    for salted joins (the prefix-split analog, QuadSorter.scala:158-165)."""
-    total = df.count()
-    return (
-        df.groupBy(col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > total * threshold_fraction)
-    )
+    for salted joins (the prefix-split analog, QuadSorter.scala:158-165).
+
+    One scan of the input: the total comes from summing the (small) grouped
+    counts, not a second full count() pass over the table."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.localCheckpoint(eager=False)
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    return counts.where(F.col("n") > total * threshold_fraction)
 
 
 def is_globally_sorted(df: DataFrame, col: str) -> bool:
@@ -61,6 +62,9 @@ def is_globally_sorted(df: DataFrame, col: str) -> bool:
     import pandas as pd
 
     def _minmax(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
         lo = hi = None
         ok = True
         prev = None
@@ -72,20 +76,21 @@ def is_globally_sorted(df: DataFrame, col: str) -> bool:
                 if lo is None:
                     lo = v
                 hi = v
-        yield pd.DataFrame({"lo": [lo], "hi": [hi], "ok": [ok]})
+        yield pd.DataFrame({"pid": [pid], "lo": [lo], "hi": [hi], "ok": [ok]})
 
-    # per-partition (min, max, monotone?) via mapInPandas, which preserves
-    # the input partitioning; for range-partitioned data the collect order
-    # is the partition order. lo/hi keep the COLUMN'S OWN TYPE — a string
-    # cast would compare numeric boundaries lexicographically ('9' > '10')
+    # per-partition (pid, min, max, monotone?) via mapInPandas, which
+    # preserves the input partitioning; partitions are compared in EXPLICIT
+    # pid order (collect order is not a contract). lo/hi keep the COLUMN'S
+    # OWN TYPE — a string cast would compare numeric boundaries
+    # lexicographically ('9' > '10')
     dtype = df.schema[col].dataType.simpleString()
     res = df.select(col).mapInPandas(
-        _minmax, f"lo {dtype}, hi {dtype}, ok boolean"
+        _minmax, f"pid int, lo {dtype}, hi {dtype}, ok boolean"
     ).collect()
-    res = [r for r in res if r.lo is not None]
+    res = sorted((r for r in res if r.lo is not None), key=lambda r: r.pid)
     if not all(r.ok for r in res):
         return False
-    # partition order == physical order for range-partitioned data
+    # range partitioning puts partition i's keys before partition i+1's
     for a, b in zip(res, res[1:]):
         if a.hi > b.lo:
             return False
