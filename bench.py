@@ -84,19 +84,23 @@ def main() -> None:
         _events_as_transcripts(spark, sf_dir).limit(2000), _GAZ
     ).distinct().count()
 
-    # best-of-2 per query: the sandbox host shows minute-scale throughput
-    # variance (other tenants); the second run also reflects the steady
-    # state a long-lived cluster job lives in
+    # best-of-N per query with adaptive retries: the sandbox host shows
+    # minute-scale co-tenant bursts (observed up to ~8x on single queries).
+    # Two runs always; if they disagree by >1.5x the query is re-run (up to
+    # 4 total) so one burst doesn't poison the recorded number. The best run
+    # also reflects the steady state a long-lived cluster job lives in.
     timings: dict[str, float] = {}
     for name in bench_names:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        while len(runs) < 2 or (
+            len(runs) < 4 and max(runs) > 1.5 * min(runs)
+        ):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
         if n == 0 and name not in ("anti_join",):
             print(f"# WARN {name}: 0 rows", file=sys.stderr)
 
@@ -124,14 +128,16 @@ def main() -> None:
         big.write.mode("overwrite").parquet(rep_dir)
         big = spark.read.parquet(rep_dir)
         n_turns = big.count()
-        best_ext = float("inf")
-        for _ in range(2):
+        ext_runs: list[float] = []
+        while len(ext_runs) < 2 or (
+            len(ext_runs) < 4 and max(ext_runs) > 1.5 * min(ext_runs)
+        ):
             t0 = time.time()
             extract_quads(big, _GAZ).select(
                 "subject", "predicate", "obj", "graph"
             ).distinct().count()
-            best_ext = min(best_ext, time.time() - t0)
-        turns_per_sec = round(n_turns / best_ext, 1)
+            ext_runs.append(time.time() - t0)
+        turns_per_sec = round(n_turns / min(ext_runs), 1)
     finally:
         shutil.rmtree(rep_dir, ignore_errors=True)
 
