@@ -84,24 +84,26 @@ def main() -> None:
         _events_as_transcripts(spark, sf_dir).limit(2000), _GAZ
     ).distinct().count()
 
-    # best-of-N per query with adaptive retries: the sandbox host shows
-    # minute-scale co-tenant bursts (observed up to ~8x on single queries).
-    # Two runs always; if they disagree by >1.5x the query is re-run (up to
-    # 4 total) so one burst doesn't poison the recorded number. The best run
-    # also reflects the steady state a long-lived cluster job lives in.
+    # best-of-N with adaptive retries: the sandbox host shows minute-scale
+    # co-tenant bursts (observed up to ~8x on single queries). Two runs
+    # always; while the runs disagree by >1.5x, re-run (up to 4 total) so
+    # one burst doesn't poison the recorded number. The best run also
+    # reflects the steady state a long-lived cluster job lives in.
+    def best_of(action) -> tuple[float, int]:
+        runs: list[float] = []
+        n = 0
+        while len(runs) < 2 or (len(runs) < 4 and max(runs) > 1.5 * min(runs)):
+            t0 = time.time()
+            n = action()
+            runs.append(time.time() - t0)
+        return min(runs), n
+
     timings: dict[str, float] = {}
     for name in bench_names:
         fn = qs[name]
-        runs: list[float] = []
-        while len(runs) < 2 or (
-            len(runs) < 4 and max(runs) > 1.5 * min(runs)
-        ):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
-        if n == 0 and name not in ("anti_join",):
+        best, n = best_of(lambda: fn(spark, sf_dir).count())
+        timings[name] = round(best, 3)
+        if n == 0:
             print(f"# WARN {name}: 0 rows", file=sys.stderr)
 
     # Flagship turns/sec at a compute-dominated scale: the sf0.1 events
@@ -128,16 +130,12 @@ def main() -> None:
         big.write.mode("overwrite").parquet(rep_dir)
         big = spark.read.parquet(rep_dir)
         n_turns = big.count()
-        ext_runs: list[float] = []
-        while len(ext_runs) < 2 or (
-            len(ext_runs) < 4 and max(ext_runs) > 1.5 * min(ext_runs)
-        ):
-            t0 = time.time()
-            extract_quads(big, _GAZ).select(
-                "subject", "predicate", "obj", "graph"
-            ).distinct().count()
-            ext_runs.append(time.time() - t0)
-        turns_per_sec = round(n_turns / min(ext_runs), 1)
+        best_ext, _ = best_of(
+            lambda: extract_quads(big, _GAZ)
+            .select("subject", "predicate", "obj", "graph")
+            .distinct().count()
+        )
+        turns_per_sec = round(n_turns / best_ext, 1)
     finally:
         shutil.rmtree(rep_dir, ignore_errors=True)
 

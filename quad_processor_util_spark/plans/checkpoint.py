@@ -39,11 +39,18 @@ class Ledger:
         done: dict[int, dict] = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        rec = json.loads(line)
-                        done[rec["bucket"]] = rec
+                lines = [ln.strip() for ln in f]
+            lines = [ln for ln in lines if ln]
+            for i, line in enumerate(lines):
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    if i == len(lines) - 1:
+                        # torn trailing append (crash mid-write): the record
+                        # never committed — ignore it, the bucket re-runs
+                        continue
+                    raise
+                done[rec["bucket"]] = rec
         return done
 
     def record(self, bucket: int, metrics: dict) -> None:
@@ -81,6 +88,17 @@ def run_checkpointed(
     re-read would triple-touch every byte at 100 TB)."""
     ledger = Ledger(ledger_path)
     done = ledger.completed()
+    # a ledger written under a different bucketing covers DIFFERENT conv_id
+    # subsets — resuming against it would silently skip or double-process
+    for b, rec in done.items():
+        if rec.get("n_buckets", n_buckets) != n_buckets or \
+                rec.get("conv_col", conv_col) != conv_col:
+            raise ValueError(
+                f"ledger {ledger_path} was written with n_buckets="
+                f"{rec.get('n_buckets')}/conv_col={rec.get('conv_col')!r}; "
+                f"refusing to resume with n_buckets={n_buckets}/"
+                f"conv_col={conv_col!r}"
+            )
     with_bucket = transcripts.withColumn("__bucket", bucket_expr(conv_col, n_buckets))
     for b in range(n_buckets):
         if b in done:
@@ -97,6 +115,8 @@ def run_checkpointed(
             "turns_in": obs_in.get["turns_in"],
             "quads_out": obs_out.get["quads_out"],
             "output": target,
+            "n_buckets": n_buckets,
+            "conv_col": conv_col,
         }
         ledger.record(b, metrics)
         done[b] = metrics

@@ -25,15 +25,51 @@ from ..functions.nt import QUAD_FIELDS, QUAD_SCHEMA, dedup_quads_df
 from ..oracle import EX, Gazetteer
 from ..sources.io import write_quads_partitioned_by_predicate
 
-# per-worker gazetteer cache: broadcast dict -> compiled Gazetteer
-_GAZ_CACHE: dict[int, Gazetteer] = {}
+# Per-worker gazetteer cache, keyed by a CONTENT hash shipped inside the
+# broadcast value. (Keying by id(bc) would never hit across tasks and —
+# worse — an address-reuse collision in a reused Python worker could serve
+# a stale gazetteer from a previous job.) Bounded: distinct gazetteers per
+# app are few; cleared defensively if it ever grows past the cap.
+_GAZ_CACHE: dict[str, Gazetteer] = {}
+_GAZ_CACHE_CAP = 16
+
+# Driver-side broadcast cache: repeated extract calls with the same
+# gazetteer reuse ONE broadcast instead of pinning a new block per call
+# (broadcasts must outlive the lazy DataFrames, so they are never destroyed
+# here — reuse is the leak control).
+_BC_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _gaz_content_key(surface_to_iri: dict[str, str]) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for k in sorted(surface_to_iri):
+        h.update(k.encode())
+        h.update(b"\x00")
+        h.update(surface_to_iri[k].encode())
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
+def broadcast_gazetteer(spark: SparkSession, surface_to_iri: dict[str, str]):
+    """Broadcast (content_key, dict) once per distinct gazetteer per app."""
+    key = _gaz_content_key(surface_to_iri)
+    app = spark.sparkContext.applicationId
+    bc = _BC_CACHE.get((app, key))
+    if bc is None:
+        bc = spark.sparkContext.broadcast((key, dict(surface_to_iri)))
+        _BC_CACHE[(app, key)] = bc
+    return bc
 
 
 def _get_gazetteer(bc) -> Gazetteer:
-    key = id(bc)
+    key, mapping = bc.value
     g = _GAZ_CACHE.get(key)
     if g is None:
-        g = Gazetteer(bc.value)
+        if len(_GAZ_CACHE) >= _GAZ_CACHE_CAP:
+            _GAZ_CACHE.clear()
+        g = Gazetteer(mapping)
         _GAZ_CACHE[key] = g
     return g
 
@@ -84,7 +120,7 @@ def extract_quads(
     guarantees (SURVEY.md §4, explicit conv_id bucketing).
     """
     spark = transcripts.sparkSession
-    bc = spark.sparkContext.broadcast(dict(surface_to_iri))
+    bc = broadcast_gazetteer(spark, surface_to_iri)
     src = transcripts if assume_bucketed else stable_order(transcripts)
     return src.mapInPandas(
         make_extract_fn(bc, policy, emit_unknown), QUAD_SCHEMA
@@ -236,5 +272,7 @@ def run_pipeline(
     canon = canonicalize(quads, mapping, excluded)
     final = dedup_quads_df(canon)
     if out_path:
-        materialize(canon, out_path)
+        # write the already-deduped frame — materialize(canon) would build
+        # the identity-dedup a second time inside the write plan
+        write_quads_partitioned_by_predicate(final, out_path)
     return final

@@ -48,11 +48,17 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
-    sidecar = {
+    commit = {
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "partition_by": partition_by or [],
         **(meta or {}),
     }
+    # append mode ACCUMULATES commit history (the Iceberg snapshot-log
+    # analog); overwrite starts a fresh history
+    prev = read_table_meta(path) if mode == "append" else None
+    commits = (prev or {}).get("commits", [])
+    commits.append(commit)
+    sidecar = {**commit, "commits": commits}
     with open(os.path.join(path, "_table_meta.json"), "w") as f:
         json.dump(sidecar, f, indent=2, sort_keys=True)
 
@@ -88,6 +94,8 @@ def read_snapshots_union(spark: SparkSession, paths: list[str]) -> DataFrame:
     multi-file batched read (QuadReader.scala:92-156) where merge order was
     an artifact and only grouping was semantic; downstream groupBy/join
     supplies the grouping."""
+    if not paths:
+        raise ValueError("read_snapshots_union: no snapshot paths")
     dfs = [spark.read.parquet(p) for p in paths]
     out = dfs[0]
     for d in dfs[1:]:
@@ -127,10 +135,7 @@ def write_sorted_nt(
 
     sorted_quads = sort_quads(quads, target, num_partitions)
     lines = format_nt_exact(sorted_quads, quads_mode=quads_mode)
-    w = lines.write.mode("overwrite")
-    if compression:
-        w = w.option("compression", compression)
-    w.text(path)
+    write_nt_lines(lines, path, compression)
 
 
 def write_quads_partitioned_by_predicate(

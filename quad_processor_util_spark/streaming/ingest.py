@@ -31,20 +31,24 @@ def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def streaming_extract(
-    stream: DataFrame, surface_to_iri: dict[str, str]
+    stream: DataFrame,
+    surface_to_iri: dict[str, str],
+    policy: str = "LONGEST_DOMINANT_RIGHT",
+    emit_unknown: bool = False,
 ) -> DataFrame:
-    """Extraction over the stream — same mapInPandas as batch. (Stable
-    intra-conversation ordering is not meaningful on an unbounded stream;
-    extraction is per-turn, so semantics are unchanged. The repartition in
-    stable_order is skipped: streams forbid arbitrary repartition+sort.)"""
-    # sortWithinPartitions is not allowed on streams, so the batch path's
-    # stable_order is skipped here; extraction is per-turn so semantics are
-    # unchanged. The extraction closure itself is shared with batch.
+    """Extraction over the stream — same mapInPandas as batch, with the
+    same policy/emit_unknown options forwarded (batch↔stream parity is the
+    contract). Stable intra-conversation ordering is not meaningful on an
+    unbounded stream and extraction is per-turn, so the batch path's
+    stable_order repartition+sort (forbidden on streams anyway) is skipped
+    without changing semantics."""
     from ..functions.nt import QUAD_SCHEMA
-    from ..plans.pipeline import make_extract_fn
+    from ..plans.pipeline import broadcast_gazetteer, make_extract_fn
 
-    bc = stream.sparkSession.sparkContext.broadcast(dict(surface_to_iri))
-    return stream.mapInPandas(make_extract_fn(bc), QUAD_SCHEMA)
+    bc = broadcast_gazetteer(stream.sparkSession, surface_to_iri)
+    return stream.mapInPandas(
+        make_extract_fn(bc, policy, emit_unknown), QUAD_SCHEMA
+    )
 
 
 def turn_rate_windows(stream: DataFrame, window: str = "5 minutes",

@@ -333,6 +333,92 @@ class TestReviewRegressions:
         assert is_globally_sorted(srt, "k")  # '9' > '10' lexicographic trap
 
 
+class TestRound2Hardening:
+    def test_ledger_torn_tail_ignored(self, tmp_path):
+        from quad_processor_util_spark.plans.checkpoint import Ledger
+
+        p = tmp_path / "ledger.jsonl"
+        p.write_text('{"bucket": 0, "turns_in": 5}\n{"bucket": 1, "turn')
+        done = Ledger(str(p)).completed()
+        assert list(done) == [0]  # torn append = uncommitted, bucket re-runs
+
+    def test_ledger_torn_middle_still_raises(self, tmp_path):
+        import json as _json
+
+        from quad_processor_util_spark.plans.checkpoint import Ledger
+
+        p = tmp_path / "ledger.jsonl"
+        p.write_text('{"bucket": 0, "turn\n{"bucket": 1, "turns_in": 5}\n')
+        with pytest.raises(_json.JSONDecodeError):
+            Ledger(str(p)).completed()
+
+    def test_ledger_bucketing_mismatch_refuses_resume(self, spark, tmp_path):
+        from quad_processor_util_spark.plans.checkpoint import (
+            Ledger, run_checkpointed,
+        )
+
+        ledger = str(tmp_path / "ledger.jsonl")
+        Ledger(ledger).record(0, {"n_buckets": 8, "conv_col": "conv_id"})
+        tr = spark.createDataFrame(
+            [("c1", 0, "user", "t", None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+        with pytest.raises(ValueError, match="refusing to resume"):
+            run_checkpointed(tr, lambda d: d, str(tmp_path / "out"), ledger,
+                             n_buckets=16)
+
+    def test_sidecar_append_accumulates_commits(self, spark, tmp_path):
+        from quad_processor_util_spark.sources.io import (
+            read_table_meta, write_table,
+        )
+
+        p = str(tmp_path / "tbl")
+        df = spark.range(3)
+        write_table(df, p, mode="overwrite", meta={"rows": 3})
+        write_table(df, p, mode="append", meta={"rows": 3})
+        meta = read_table_meta(p)
+        assert len(meta["commits"]) == 2
+
+    def test_gazetteer_broadcast_reused(self, spark):
+        from quad_processor_util_spark.plans.pipeline import broadcast_gazetteer
+
+        g = {"Ada Lovelace": "http://e/ada"}
+        b1 = broadcast_gazetteer(spark, g)
+        b2 = broadcast_gazetteer(spark, dict(g))
+        assert b1 is b2
+        b3 = broadcast_gazetteer(spark, {"Other": "http://e/o"})
+        assert b3 is not b1
+
+    def test_streaming_extract_forwards_policy(self, spark, tmp_path):
+        """Stream with emit_unknown=True must emit placeholder quads like
+        the batch path does."""
+        import pandas as pd
+
+        from quad_processor_util_spark.streaming.ingest import (
+            read_transcript_stream, streaming_extract,
+        )
+
+        pdf = pd.DataFrame({
+            "conv_id": ["c1"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["Unknown Entity visited."],
+            "tool": pd.array([None], dtype="string"),
+            "ts": pd.Series([pd.Timestamp("2026-01-01")]).astype("datetime64[us]"),
+        })
+        src = tmp_path / "src"
+        src.mkdir()
+        pdf.to_parquet(str(src / "p.parquet"), index=False)
+        stream = read_transcript_stream(spark, str(src))
+        out = streaming_extract(stream, {}, emit_unknown=True)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("se_out").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM se_out").collect()
+        assert any(r.predicate.endswith("mentionSurface")
+                   and r.obj == "Unknown Entity" for r in rows)
+
+
 class TestWinnowing:
     def test_shared_substring_guarantee_and_selectivity(self, spark):
         """Robust winnowing (k=7, w=4): any shared substring of length >=
