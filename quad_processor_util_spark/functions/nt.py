@@ -251,23 +251,87 @@ def format_nt_expr(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
     )
 
 
+# clean-row predicates for the vectorized exact-format route:
+# a URI the oracle accepts verbatim (absolute, no angle brackets) ...
+_CLEAN_URI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^\s<>]+$"
+# ... and a literal needing NO escaping at all: printable ASCII minus
+# '"' (0x22) and '\' (0x5C) — everything outside this set takes the
+# per-row oracle (escape-family, control chars, non-ASCII \uXXXX)
+_CLEAN_LIT_RE = r"^[\x20-\x21\x23-\x5B\x5D-\x7E]*$"
+
+
+def _format_clean_batch(pdf: pd.DataFrame, quads_mode: bool):
+    """-> (lines ndarray aligned to pdf rows with None where not clean)."""
+    import numpy as np
+
+    s = pdf["subject"].astype(str)
+    p = pdf["predicate"].astype(str)
+    o = pdf["obj"].astype(str)
+    dt = pdf["datatype"]
+    lang = pdf["language"]
+    gr = pdf["graph"]
+    uri_ok = lambda c: c.str.match(_CLEAN_URI_RE, na=False)  # noqa: E731
+    # mutually exclusive, in the ORACLE'S dispatch order (format_nt_line:
+    # datatype-null URI first, then language, then plain, then typed)
+    b_uri = dt.isna()
+    b_lang = ~b_uri & lang.notna()
+    b_plain = ~b_uri & ~b_lang & dt.eq(XSD_STRING)
+    b_typed = ~b_uri & ~b_lang & dt.notna() & ~dt.eq(XSD_STRING)
+    lit_ok = o.str.match(_CLEAN_LIT_RE, na=False)
+    clean = (
+        uri_ok(s) & uri_ok(p)
+        & (
+            (b_uri & uri_ok(o))
+            | ((b_lang | b_plain) & lit_ok)
+            | (b_typed & lit_ok & uri_ok(dt.astype(str)))
+        )
+    )
+    if quads_mode:
+        has_g = gr.notna() & gr.ne("")
+        clean = clean & (~has_g | uri_ok(gr.astype(str)))
+    if not clean.any():
+        return np.full(len(pdf), None, dtype=object)
+    obj_part = np.where(
+        b_uri, "<" + o + ">",
+        np.where(b_lang, '"' + o + '"@' + lang.astype(str),
+                 np.where(b_plain, '"' + o + '"',
+                          '"' + o + '"^^<' + dt.astype(str) + ">")),
+    )
+    lines = "<" + s + "> <" + p + "> " + pd.Series(obj_part, index=pdf.index)
+    if quads_mode:
+        lines = lines + np.where(gr.notna() & gr.ne(""),
+                                 " <" + gr.astype(str) + ">", "")
+    lines = lines + " ."
+    return np.where(clean, lines, None)
+
+
 def format_nt_exact(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
-    """Byte-exact N-Triples formatting (incl. \\uXXXX non-ASCII escapes) via
-    the shared oracle function, Arrow-batched."""
+    """Byte-exact N-Triples formatting (incl. \\uXXXX non-ASCII escapes).
+    Clean rows — valid absolute URIs, literals with nothing to escape —
+    format vectorized (pandas string ops, provably identical to the
+    oracle: no escape can apply and no `# ` marking can trigger); rows
+    needing escapes or bad-URI commenting take the per-row oracle
+    function. Output order matches input order (the sorted-write path
+    depends on it)."""
 
     def _fmt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            lines = [
-                format_nt_line(
-                    PyQuad(r.subject, r.predicate, r.obj,
-                           None if pd.isna(r.datatype) else r.datatype,
-                           None if pd.isna(r.language) else r.language,
-                           None if pd.isna(r.graph) else r.graph),
-                    quads_mode=quads_mode,
-                )
-                for r in pdf.itertuples()
-            ]
-            yield pd.DataFrame({"line": lines})
+            res = _format_clean_batch(pdf, quads_mode)
+            miss = np.nonzero(res == None)[0]  # noqa: E711 (elementwise)
+            if len(miss):
+                res[miss] = [
+                    format_nt_line(
+                        PyQuad(r.subject, r.predicate, r.obj,
+                               None if pd.isna(r.datatype) else r.datatype,
+                               None if pd.isna(r.language) else r.language,
+                               None if pd.isna(r.graph) else r.graph),
+                        quads_mode=quads_mode,
+                    )
+                    for r in pdf.iloc[miss].itertuples()
+                ]
+            yield pd.DataFrame({"line": res})
 
     return quads.mapInPandas(_fmt, StructType([StructField("line", StringType())]))
 
