@@ -432,6 +432,45 @@ def _q_pipeline_e2e(spark, sf_dir):
     return canon.select("subject", "predicate", "obj", "graph").distinct()
 
 
+def _q_pipeline_full(spark, sf_dir):
+    """The complete 4-stage composition the reference's solr-loader runs
+    (SolrLoader.scala:96-244): extract (with unknown-mention placeholders)
+    -> fuzzy entity linking -> CC canonicalize + exclusion -> distinct.
+    The transcripts carry a deterministic unknown surface ('Hoppr Labs', a
+    typo of a catalog org) in every turn; linking resolves it by char-3-gram
+    Jaccard x weight to dbr:Hopper_Labs (score 0.545, verified constant —
+    both engines derive it from the same inputs, so the oracle inlines it)."""
+    from quad_processor_util_spark.operators.cc import canonical_mapping
+    from quad_processor_util_spark.plans.pipeline import (
+        canonicalize, link_unknown_mentions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    people = F.array(*[F.lit(p) for p in _PEOPLE])
+    orgs = F.array(*[F.lit(o) for o in _ORGS])
+    a = F.element_at(people, (F.col("event_id") % 4 + 1).cast("int"))
+    b = F.element_at(orgs, (F.floor((F.col("event_id") % 16) / 4) + 1).cast("int"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(a, F.lit(" works at "), b,
+                 F.lit(". also met Hoppr Labs today.")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    quads = extract_quads(tr, _GAZ, emit_unknown=True, assume_bucketed=True)
+    catalog = spark.createDataFrame(
+        [(n, _GAZ[n], 1.0) for n in _PEOPLE + _ORGS],
+        "surface_form string, entity_iri string, form_weight double",
+    )
+    linked = link_unknown_mentions(quads, catalog)
+    mapping, excluded = canonical_mapping(_e2e_alias_edges(spark))
+    canon = canonicalize(linked, mapping, excluded)
+    return canon.select("subject", "predicate", "obj", "graph").distinct()
+
+
 def _q_camelcase_mint(spark, sf_dir):
     """camelCase predicate minting from tool names (RichString.scala:70-74
     toCamelCase; SURVEY §2 X10)."""
@@ -550,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "pipeline_e2e": _q_pipeline_e2e,
+        "pipeline_full": _q_pipeline_full,
         "camelcase_mint": _q_camelcase_mint,
         "fuzzy_link": _q_fuzzy_link,
         "codepoint_order": _q_codepoint_order,
@@ -1011,6 +1051,42 @@ def oracle_sql() -> dict[str, str]:
                    graph
             FROM q
             WHERE obj != '{_DBR}Knuth_Press'
+        """,
+        # 4-stage composition: worksAt quads (rewritten/excluded exactly as
+        # pipeline_e2e) UNION the fuzzy-linked mention quads — 'Hoppr Labs'
+        # resolves to dbr:Hopper_Labs (deterministic constant, see query)
+        "pipeline_full": f"""
+            WITH q AS (
+              SELECT {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
+                     'http://example.org/ontology/worksAt' AS predicate,
+                     {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
+                     'http://example.org/conv/' || user_id AS graph
+              FROM events
+            ), works AS (
+              SELECT DISTINCT
+                     CASE subject WHEN '{_DBR}Ada_Lovelace'
+                          THEN '{_DBR}A0_Ada' ELSE subject END AS subject,
+                     predicate,
+                     CASE obj WHEN '{_DBR}Turing_Institute'
+                          THEN '{_DBR}AA_TI' ELSE obj END AS obj,
+                     graph
+              FROM q
+              WHERE obj != '{_DBR}Knuth_Press'
+            ), turns AS (
+              SELECT user_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS turn_idx
+              FROM events
+            ), mentions AS (
+              SELECT DISTINCT
+                     'http://example.org/conv/' || user_id || '/turn/'
+                         || CAST(turn_idx AS VARCHAR) AS subject,
+                     'http://example.org/ontology/mentions' AS predicate,
+                     '{_DBR}Hopper_Labs' AS obj,
+                     'http://example.org/conv/' || user_id AS graph
+              FROM turns
+            )
+            SELECT * FROM works UNION ALL SELECT * FROM mentions
         """,
         "fuzzy_link": f"""
             WITH surf AS (

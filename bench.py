@@ -55,6 +55,7 @@ def main() -> None:
     bench_names = [
         "extract_kg",
         "pipeline_e2e",
+        "pipeline_full",
         "tpch_q1",
         "star_join",
         "star_view",
