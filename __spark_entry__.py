@@ -544,6 +544,14 @@ def _q_snapshots_union(spark, sf_dir):
     )
 
 
+def _q_text_clean(spark, sf_dir):
+    """Training-data text hygiene: HTML strip + PII redaction (email /
+    phone / IPv4) + whitespace collapse, pure Catalyst with Java/RE2-parity
+    regexes."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.clean_text(F.col("text")).alias("clean"))
+
+
 def _q_winnow_fp(spark, sf_dir):
     """Robust-winnowing document fingerprints (rolling k-gram hash +
     min-in-window selection, Schleimer et al.) — the rolling-hash
@@ -596,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_histogram": _q_prefix_histogram,
         "snapshots_union": _q_snapshots_union,
         "winnow_fp": _q_winnow_fp,
+        "text_clean": _q_text_clean,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
@@ -1124,6 +1133,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT surface, entity_iri, round(score, 6) AS score
             FROM ranked WHERE rn = 1 ORDER BY surface
+        """,
+        "text_clean": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\+?\d[\d()\-\s]{7,}\d', '<PHONE>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                     '\s+', ' ', 'g')) AS clean
+            FROM documents
         """,
         "winnow_fp": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),

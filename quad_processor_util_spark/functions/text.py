@@ -150,3 +150,30 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
     )
     return sel
+
+
+# ---------------------------------------------------------------------------
+# text cleaning / PII redaction (training-data hygiene family)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, ASCII \d, plain \b.
+_HTML_TAG_RE = r"<[^>]+>"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d()\-\s]{7,}\d"
+_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+def clean_text(col):
+    """Training-data text hygiene, pure Catalyst: strip HTML tags, redact
+    emails/phone-ish runs/IPv4s to typed tokens, collapse whitespace, trim.
+    Patterns are Java/RE2-parity so the DuckDB gate replays the exact
+    pipeline. Redaction tokens use <> only AFTER tag stripping, so they can
+    never be re-stripped."""
+    from pyspark.sql import functions as F
+
+    c = F.regexp_replace(col, _HTML_TAG_RE, " ")
+    c = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
+    c = F.regexp_replace(c, _IPV4_RE, "<IP>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -333,6 +333,28 @@ class TestReviewRegressions:
         assert is_globally_sorted(srt, "k")  # '9' > '10' lexicographic trap
 
 
+class TestTextClean:
+    def test_pii_redaction_and_html_strip(self, spark):
+        from quad_processor_util_spark.functions.text import clean_text
+
+        cases = [
+            ("mail me at john.doe+x@example.co.uk today",
+             "mail me at <EMAIL> today"),
+            ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+            ("server at 192.168.0.1 down", "server at <IP> down"),
+            ("<p>hello <b>world</b></p>", "hello world"),
+            ("  spaced   out\ttext ", "spaced out text"),
+            ("nothing to clean.", "nothing to clean."),
+            ("<a href='x'>a@b.io</a> 10.0.0.254", "<EMAIL> <IP>"),
+        ]
+        df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                                   "id long, text string")
+        got = {r.id: r.c for r in
+               df.select("id", clean_text(F.col("text")).alias("c")).collect()}
+        for i, (_, exp) in enumerate(cases):
+            assert got[i] == exp, (i, got[i], exp)
+
+
 class TestRound2Hardening:
     def test_ledger_torn_tail_ignored(self, tmp_path):
         from quad_processor_util_spark.plans.checkpoint import Ledger
