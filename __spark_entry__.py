@@ -544,6 +544,15 @@ def _q_snapshots_union(spark, sf_dir):
     )
 
 
+def _q_trix_format(spark, sf_dir):
+    """TriX serialization (TriXBuilder.scala:28-60 semantics incl. the
+    literal 'BAD URI: null' context for graph-less quads in quads mode and
+    NO xsd:string omission)."""
+    from quad_processor_util_spark.functions.nt import format_trix
+
+    return format_trix(_events_quads(spark, sf_dir), quads_mode=True)
+
+
 def _q_text_clean(spark, sf_dir):
     """Training-data text hygiene: HTML strip + PII redaction (email /
     phone / IPv4) + whitespace collapse, pure Catalyst with Java/RE2-parity
@@ -605,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshots_union": _q_snapshots_union,
         "winnow_fp": _q_winnow_fp,
         "text_clean": _q_text_clean,
+        "trix_format": _q_trix_format,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
@@ -1133,6 +1143,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT surface, entity_iri, round(score, 6) AS score
             FROM ranked WHERE rn = 1 ORDER BY surface
+        """,
+        # the events-derived quads' URIs are valid and escape-free, so only
+        # the literal object needs the XML escape chain (a no-op on digits,
+        # kept for form); graph-less rows carry the reference's literal
+        # 'BAD URI: null' context element
+        "trix_format": """
+            SELECT '  <graph>' || chr(10)
+                   || CASE WHEN event_id % 3 = 0
+                        THEN '    <uri>http://example.org/g/' || event_type
+                             || '</uri>'
+                        ELSE '    <uri>BAD URI: null</uri>' END || chr(10)
+                   || '    <triple>' || chr(10)
+                   || '      <uri>http://example.org/user/' || user_id
+                   || '</uri>' || chr(10)
+                   || '      <uri>http://example.org/ontology/' || event_type
+                   || '</uri>' || chr(10)
+                   || '      <typedLiteral datatype='
+                   || '"http://www.w3.org/2001/XMLSchema#string">'
+                   || replace(replace(replace(replace(
+                        CAST(event_id AS VARCHAR),
+                        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                        '"', '&quot;')
+                   || '</typedLiteral>' || chr(10)
+                   || '    </triple>' || chr(10)
+                   || '  </graph>' || chr(10) AS trix
+            FROM events
         """,
         "text_clean": r"""
             SELECT doc_id,

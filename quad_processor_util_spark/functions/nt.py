@@ -363,3 +363,77 @@ def dedup_quads_df(quads: DataFrame) -> DataFrame:
     DeduplicatingDestination.scala:10-24 — Spark's shuffle dedup is the
     global, stronger form)."""
     return quads.dropDuplicates(QUAD_IDENTITY)
+
+
+# ---------------------------------------------------------------------------
+# TriX serialization (ref: formatters/TriXBuilder.scala:28-60,
+# TriXFormatter.scala:10-21, utils/XmlUtils.scala escape table)
+# ---------------------------------------------------------------------------
+
+TRIX_HEADER = '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/" >\n'
+TRIX_FOOTER = "</TriX>\n"
+
+
+def xml_escape_expr(col: Column) -> Column:
+    """The reference's XML escape table (XmlUtils.scala): & < > " to
+    entities; control chars below 0x20 REMOVED except \\n \\r \\t (kept
+    raw). Chars >= 0x40 pass through untouched."""
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    c = F.regexp_replace(c, '"', "&quot;")
+    return F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+
+
+def format_trix(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
+    """Quad table -> one TriX <graph><triple>…</triple></graph> fragment
+    per quad (column `trix`), pure Catalyst. Wrap output between
+    TRIX_HEADER/TRIX_FOOTER when writing a document.
+
+    Faithful to TriXBuilder.scala:28-60: 2-space-per-depth indentation, the
+    context <uri> emitted in quads mode even when the graph is null (the
+    reference's parseUri(null) yields the literal 'BAD URI: null' text,
+    UriTripleBuilder.scala:19-30), xsd:string NOT omitted (the omission is
+    TerseBuilder-specific). Simplification: URI validity uses the same
+    absolute-URI guard as the N-Triples path instead of java.net.URI's
+    parser (whose exact error strings are JVM-internal)."""
+    uri_ok = lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://\S+$")  # noqa: E731
+
+    def uri_el(col: Column, indent: str) -> Column:
+        val = (
+            F.when(col.isNull(), F.lit("BAD URI: null"))
+            .when(uri_ok(col), col)
+            .otherwise(F.concat(F.lit("BAD URI: not absolute: "), col))
+        )
+        return F.concat(F.lit(indent + "<uri>"), xml_escape_expr(val),
+                        F.lit("</uri>\n"))
+
+    s, p, o, dt, lang, gr = (F.col(x) for x in
+                             ["subject", "predicate", "obj", "datatype",
+                              "language", "graph"])
+    dt_val = (
+        F.when(uri_ok(dt), dt)
+        .otherwise(F.concat(F.lit("BAD URI: not absolute: "), dt))
+    )
+    obj_el = (
+        F.when(dt.isNull(), uri_el(o, "      "))
+        .when(lang.isNotNull(), F.concat(
+            F.lit('      <plainLiteral xml:lang="'), lang, F.lit('">'),
+            xml_escape_expr(o), F.lit("</plainLiteral>\n")))
+        .otherwise(F.concat(
+            F.lit('      <typedLiteral datatype="'),
+            xml_escape_expr(dt_val), F.lit('">'),
+            xml_escape_expr(o), F.lit("</typedLiteral>\n")))
+    )
+    parts = [F.lit("  <graph>\n")]
+    if quads_mode:
+        parts.append(uri_el(gr, "    "))
+    parts += [
+        F.lit("    <triple>\n"),
+        uri_el(s, "      "),
+        uri_el(p, "      "),
+        obj_el,
+        F.lit("    </triple>\n"),
+        F.lit("  </graph>\n"),
+    ]
+    return quads.select(F.concat(*parts).alias("trix"))

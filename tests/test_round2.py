@@ -355,6 +355,44 @@ class TestTextClean:
             assert got[i] == exp, (i, got[i], exp)
 
 
+class TestTriX:
+    def test_fragment_shape_escaping_and_bad_uri(self, spark):
+        from quad_processor_util_spark.functions.nt import (
+            TRIX_FOOTER, TRIX_HEADER, format_trix,
+        )
+
+        quads = spark.createDataFrame(
+            [
+                ("http://s", "http://p", "a <b> & \"c\"",
+                 "http://www.w3.org/2001/XMLSchema#string", None, "http://g", None),
+                ("http://s2", "http://p", "hola",
+                 "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+                 "es", None, None),
+                ("not a uri", "http://p", "http://o", None, None, "http://g", None),
+            ],
+            "subject string, predicate string, obj string, datatype string, "
+            "language string, graph string, dataset string",
+        )
+        rows = [r.trix for r in format_trix(quads, quads_mode=True).collect()]
+        assert rows[0] == (
+            "  <graph>\n"
+            "    <uri>http://g</uri>\n"
+            "    <triple>\n"
+            "      <uri>http://s</uri>\n"
+            "      <uri>http://p</uri>\n"
+            '      <typedLiteral datatype='
+            '"http://www.w3.org/2001/XMLSchema#string">'
+            "a &lt;b&gt; &amp; &quot;c&quot;</typedLiteral>\n"
+            "    </triple>\n"
+            "  </graph>\n"
+        )
+        # null graph in quads mode: the reference's literal BAD URI text
+        assert "<uri>BAD URI: null</uri>" in rows[1]
+        assert '<plainLiteral xml:lang="es">hola</plainLiteral>' in rows[1]
+        assert "<uri>BAD URI: not absolute: not a uri</uri>" in rows[2]
+        assert TRIX_HEADER.startswith("<TriX") and TRIX_FOOTER == "</TriX>\n"
+
+
 class TestRound2Hardening:
     def test_ledger_torn_tail_ignored(self, tmp_path):
         from quad_processor_util_spark.plans.checkpoint import Ledger
