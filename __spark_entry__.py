@@ -544,6 +544,17 @@ def _q_snapshots_union(spark, sf_dir):
     )
 
 
+def _q_int_hex(spark, sf_dir):
+    """int <-> hex roundtrip (X16, utils/StringUtils intToHex/hexToInt —
+    native hex()/conv() on Spark, to_hex/hex-cast on DuckDB)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hex(F.col("event_id")).alias("hx"),
+        F.conv(F.hex(F.col("event_id")), 16, 10).cast("long").alias("back"),
+    )
+
+
 def _q_trix_format(spark, sf_dir):
     """TriX serialization (TriXBuilder.scala:28-60 semantics incl. the
     literal 'BAD URI: null' context for graph-less quads in quads mode and
@@ -615,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _q_winnow_fp,
         "text_clean": _q_text_clean,
         "trix_format": _q_trix_format,
+        "int_hex": _q_int_hex,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
@@ -1148,6 +1160,12 @@ def oracle_sql() -> dict[str, str]:
         # the literal object needs the XML escape chain (a no-op on digits,
         # kept for form); graph-less rows carry the reference's literal
         # 'BAD URI: null' context element
+        "int_hex": """
+            SELECT event_id,
+                   to_hex(event_id) AS hx,
+                   CAST(('0x' || to_hex(event_id)) AS BIGINT) AS back
+            FROM events
+        """,
         "trix_format": """
             SELECT '  <graph>' || chr(10)
                    || CASE WHEN event_id % 3 = 0
