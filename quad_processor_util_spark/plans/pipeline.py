@@ -218,6 +218,10 @@ def link_unknown_mentions(
     from ..operators.linking import link_surface_forms
 
     surf_pred = EX + "mentionSurface"
+    # the quad stream is consumed by THREE branches (placeholders, rest,
+    # and the linking candidate surfaces) — cut the lineage so the upstream
+    # extraction runs once, not once per branch
+    quads = quads.localCheckpoint(eager=False)
     placeholders = quads.where(F.col("predicate") == surf_pred)
     rest = quads.where(F.col("predicate") != surf_pred)
     links = link_surface_forms(
