@@ -53,4 +53,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # getOrCreate silently reuses an existing session, IGNORING every conf
+    # above — warn loudly if a requested conf didn't take (e.g. a tool that
+    # needs AQE off running inside a process that already built a session)
+    for k, v in (extra_conf or {}).items():
+        actual = spark.conf.get(k, None)
+        if actual != v:
+            import sys as _sys
+            print(f"# WARN get_spark: requested {k}={v} but active session "
+                  f"has {actual} (pre-existing session reused)",
+                  file=_sys.stderr)
+    return spark

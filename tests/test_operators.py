@@ -63,10 +63,6 @@ class TestConnectedComponents:
         exp_map, exp_excl = resolve_canonical(
             list(zip(edges_pdf["src_iri"], edges_pdf["dst_iri"], edges_pdf["edge_kind"]))
         )
-        # oracle includes only equivalence-edge nodes
-        exp_map = {
-            k: v for k, v in exp_map.items()
-        }
         # compare on common domain: every CC node label must equal the oracle's
         for node, canon in got.items():
             assert exp_map.get(node, node) == canon, node

@@ -108,6 +108,15 @@ def test_materialize_partitioned_by_predicate(spark, data, tmp_path):
     assert back.count() == back.dropDuplicates(
         ["subject", "predicate", "obj", "datatype", "language"]
     ).count()
-    # predicate pushdown: reading one partition only touches that directory
+    # predicate pushdown: the partition filter must reach the scan (a plan
+    # with PartitionFilters prunes to one directory; count()>0 alone would
+    # also pass on a broken full scan)
     one = back.where(F.col("pred_label") == parts[0].split("=", 1)[1])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "pred_label" in plan.split(
+        "PartitionFilters", 1)[1][:200]
     assert one.count() > 0
+    # and every file actually read lives under the single partition dir
+    files = {r[0] for r in
+             one.select(F.input_file_name()).distinct().collect()}
+    assert files and all(f"/{parts[0]}/" in f for f in files)

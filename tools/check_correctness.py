@@ -64,10 +64,12 @@ def main(sf_dir: str) -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(s_rows)} rows, "
-                  f"{time.time()-t0:.1f}s) — no oracle")
             if len(s_rows) == 0:
-                print(f"WARN  {name}: zero rows")
+                print(f"FAIL  {name}: zero rows (rows-only query)")
+                failures += 1
+            else:
+                print(f"ok*   {name}: rows-only ({len(s_rows)} rows, "
+                      f"{time.time()-t0:.1f}s) — no oracle")
             continue
         try:
             cur = con.execute(oracles[name])

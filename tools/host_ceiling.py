@@ -53,12 +53,42 @@ def work(_):
     return c
 
 
+def warm(_):
+    """Per-worker warm-up: imports + a single 10k batch (running the full
+    workload twice would double the tool's runtime for no extra warmth)."""
+    _one_batch()
+    return 0
+
+
+def _one_batch():
+    import numpy as np
+    import pandas as pd
+
+    from __spark_entry__ import _GAZ, _ORGS, _PEOPLE
+    from quad_processor_util_spark.oracle import Gazetteer
+    from quad_processor_util_spark.plans.extract_vec import extract_batch
+
+    gaz = Gazetteer(_GAZ)
+    texts = [
+        f"{p} works at {o}." for p in _PEOPLE for o in _ORGS
+    ]
+    batch = 10_000
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i % 97}" for i in range(batch)],
+        "turn_idx": np.arange(batch, dtype="int32"),
+        "role": ["user"] * batch,
+        "text": (texts * (batch // len(texts) + 1))[:batch],
+        "tool": [None] * batch,
+    })
+    extract_batch(pdf, gaz)
+
+
 def main() -> None:
     levels = [2, 4, 8, 16, 32]
     rates: dict[int, float] = {}
     for n in levels:
         with mp.Pool(n) as p:
-            p.map(work, range(n))  # warm imports
+            p.map(warm, range(n))  # imports + one small batch per worker
             t0 = time.time()
             p.map(work, range(n))
             dt = time.time() - t0

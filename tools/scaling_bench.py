@@ -105,7 +105,9 @@ def main() -> None:
     for _ in range(trials):  # interleaved: host variance hits both levels
         lo_trials.append(run_level(n))
         hi_trials.append(run_level(4 * n))
-    med = lambda ts: sorted(ts, key=lambda r: r["turns_per_sec"])[len(ts) // 2]
+    # true middle for odd trial counts; the LOWER middle (slower trial) for
+    # even counts — conservative, never best-of-N masquerading as median
+    med = lambda ts: sorted(ts, key=lambda r: r["turns_per_sec"])[(len(ts) - 1) // 2]
     lo = med(lo_trials)
     hi = med(hi_trials)
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4
