@@ -544,6 +544,30 @@ def _q_snapshots_union(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane-bucket self-join. The corpus
+    is the embeddings table UNION a scaled copy (×1.5, ids +10000): scaling
+    preserves every hyperplane sign bit, so each (i, i+10000) pair is
+    GUARANTEED co-bucketed in all tables, and cosine(v, 1.5v) = 1.0 —
+    while the strongest natural pair in the data is ~0.51, far below the
+    0.95 threshold. Output is therefore exactly the 500 planted pairs,
+    which the oracle states in closed form."""
+    from quad_processor_util_spark.operators.similarity import (
+        embedding_cosine_dedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    pairs = embedding_cosine_dedup_pairs(
+        corpus, dim=_EMB_DIM, threshold=0.95, planes=6, tables=6
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("sim"))
+
+
 def _q_int_hex(spark, sf_dir):
     """int <-> hex roundtrip (X16, utils/StringUtils intToHex/hexToInt —
     native hex()/conv() on Spark, to_hex/hex-cast on DuckDB)."""
@@ -627,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": _q_text_clean,
         "trix_format": _q_trix_format,
         "int_hex": _q_int_hex,
+        "embedding_neardup": _q_embedding_neardup,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
@@ -1160,6 +1185,15 @@ def oracle_sql() -> dict[str, str]:
         # the literal object needs the XML escape chain (a no-op on digits,
         # kept for form); graph-less rows carry the reference's literal
         # 'BAD URI: null' context element
+        # closed form: scaling preserves hyperplane sign bits (guaranteed
+        # co-bucketing) and cosine(v, 1.5v) = 1; the strongest NATURAL pair
+        # in this data is ~0.51 << 0.95, so the planted pairs are the output
+        "embedding_neardup": """
+            SELECT vec_id AS id_a,
+                   vec_id + 10000 AS id_b,
+                   CAST(1.0 AS DOUBLE) AS sim
+            FROM embeddings
+        """,
         "int_hex": """
             SELECT event_id,
                    to_hex(event_id) AS hx,
