@@ -275,6 +275,18 @@ def _q_extract_kg(spark, sf_dir):
     return quads.select("subject", "predicate", "obj", "graph").distinct()
 
 
+def _q_extract_kg_shuffled(spark, sf_dir):
+    """The NON-bucketed extraction path: assume_bucketed=False forces
+    stable_order's explicit repartition-by-conv_id + in-partition secondary
+    sort before extraction (plans/pipeline.py:77) — the path a fresh or
+    unclustered table takes (reference sorted-group traversal,
+    QuadReader.scala:44-62). Same oracle as extract_kg: the shuffle must not
+    change the emitted quads."""
+    tr = _events_as_transcripts(spark, sf_dir)
+    quads = extract_quads(tr, _GAZ, assume_bucketed=False)
+    return quads.select("subject", "predicate", "obj", "graph").distinct()
+
+
 def _q_minhash_dedup(spark, sf_dir):
     # md5-based signatures + concat band buckets: the exact pipeline is
     # replayable in DuckDB (oracle below); default xxhash64 variant is the
@@ -510,6 +522,101 @@ def _q_fuzzy_link(spark, sf_dir):
     return link_surface_forms(mentions, catalog).orderBy("surface")
 
 
+# Messy-surface-form templates for the canonical-IRI minting gate (X3-X6):
+# surface = pre + token + post. Each row carries the hand-derived expected
+# single-decode (dpre/dpost) and expected minted local name (epre/epost,
+# cap = token leads and gets capitalize_first) so the DuckDB oracle states
+# the transform per template INDEPENDENTLY of the engine's decode/encode
+# code. Coverage: space/underscore collapse, %20, double-encoding to
+# fixpoint, malformed-%XX leniency + re-escape, wikiEncode reserved set
+# ("?#), UTF-8 multibyte decode, unicode/ligature capitalize, control-char
+# whitespace, '+' NOT a space, parens kept raw.
+# Ref: utils/UriUtils.scala:61-138, utils/WikiUtil.scala:56-112,
+# uri/UriDecoder.java:41-102.
+_MINT_TEMPLATES = [
+    # (name, pre, post, dec_pre, dec_post, exp_pre, exp_post, cap_token)
+    ("spaces", "foo  bar ", "", "foo  bar ", "", "Foo_bar_", "", False),
+    ("underscores", "foo_bar__", "", "foo_bar__", "", "Foo_bar_", "", False),
+    ("pct_space", "foo%20bar%20", "", "foo bar ", "", "Foo_bar_", "", False),
+    ("double_enc", "foo%2520bar%2520", "", "foo%20bar%20", "", "Foo_bar_", "", False),
+    ("malformed", "foo%2Gbar ", "", "foo%2Gbar ", "", "Foo%252Gbar_", "", False),
+    ("reserved", "", ' "q?" #x', "", ' "q?" #x', "", "_%22q%3F%22_%23x", True),
+    ("unicode", "caf%C3%A9 ", "", "café ", "", "Café_", "", False),
+    ("unicode_cap", "école de ", "", "école de ", "", "École_de_", "", False),
+    ("eszett", "ßtraße ", "", "ßtraße ", "", "ßtraße_", "", False),
+    ("ctrl", "a%0Ab ", "", "a\nb ", "", "A_b_", "", False),
+    ("plus", "a+b ", "", "a+b ", "", "A+b_", "", False),
+    ("parens", "(", ") %28x%29", "(", ") (x)", "(", ")_(x)", False),
+    ("qmark", "", "?sec#frag", "", "?sec#frag", "", "%3Fsec%23frag", True),
+    ("dbl_utf8", "%25C3%25A9 ", "", "%C3%A9 ", "", "É_", "", False),
+]
+
+
+def _q_mint_iri(spark, sf_dir):
+    """Canonical DBpedia-IRI minting gate (X3-X6): messy surface forms —
+    percent-encoded (incl. double-encoded and malformed sequences), unicode,
+    parens, ?/# reserved chars, space/underscore runs — derived from document
+    md5 tokens, pushed through the REAL minting chain (percent_decode_udf
+    single decode; mint_iri_udf = decode-to-fixpoint + cleanSpace +
+    capitalize_first + wikiEncode). The oracle derives the expected strings
+    per template, never calling the engine's code."""
+    from quad_processor_util_spark.functions.uri import (
+        mint_iri_udf, percent_decode_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    entries = [
+        F.struct(
+            F.lit(name).alias("tmpl"),
+            F.concat(F.lit(pre), F.col("t"), F.lit(post)).alias("surface"),
+        )
+        for name, pre, post, *_ in _MINT_TEMPLATES
+    ]
+    surfaces = (
+        docs.select("doc_id", tok.alias("t"))
+        .select("doc_id", F.explode(F.array(*entries)).alias("s"))
+        .select("doc_id", "s.tmpl", "s.surface")
+    )
+    return surfaces.select(
+        "doc_id", "tmpl", "surface",
+        percent_decode_udf(F.col("surface")).alias("decoded"),
+        mint_iri_udf(F.col("surface")).alias("iri"),
+    )
+
+
+def _mint_iri_oracle_sql() -> str:
+    """DuckDB replay of _q_mint_iri: the same surface construction, with the
+    decoded/minted forms stated per template as an independent hand
+    derivation (constants + token capitalization) — the oracle never runs
+    the engine's decode/encode functions."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({q(name)}, {q(pre)}, {q(post)}, {q(dpre)}, {q(dpost)}, "
+        f"{q(epre)}, {q(epost)}, {str(cap).lower()})"
+        for name, pre, post, dpre, dpost, epre, epost, cap in _MINT_TEMPLATES
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS t
+  FROM documents
+), tmpl(tmpl, pre, post, dpre, dpost, epre, epost, cap) AS (
+  VALUES
+      {rows}
+)
+SELECT doc_id, tmpl,
+       pre || t || post AS surface,
+       dpre || t || dpost AS decoded,
+       'http://dbpedia.org/resource/' || epre ||
+         CASE WHEN cap THEN upper(substr(t, 1, 1)) || substr(t, 2)
+              ELSE t END || epost AS iri
+FROM tok CROSS JOIN tmpl
+"""
+
+
 def _q_codepoint_order(spark, sf_dir):
     """Global code-point ordering parity (the reference's CodePointComparator,
     sort/CodePointComparator.scala:19-43): rank every document by binary
@@ -550,8 +657,9 @@ def _q_embedding_neardup(spark, sf_dir):
     preserves every hyperplane sign bit, so each (i, i+10000) pair is
     GUARANTEED co-bucketed in all tables, and cosine(v, 1.5v) = 1.0 —
     while the strongest natural pair in the data is ~0.51, far below the
-    0.95 threshold. Output is therefore exactly the 500 planted pairs,
-    which the oracle states in closed form."""
+    0.95 threshold. Output is therefore exactly the 500 planted pairs; the
+    oracle REPLAYS the seeded hyperplane bucketing + cosine filter in SQL
+    over the same corpus rather than assuming the planted construction."""
     from quad_processor_util_spark.operators.similarity import (
         embedding_cosine_dedup_pairs,
     )
@@ -634,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "lang_id": _q_lang_id,
         "extract_kg": _q_extract_kg,
+        "extract_kg_shuffled": _q_extract_kg_shuffled,
+        "mint_iri": _q_mint_iri,
         "quad_filter": _q_quad_filter,
         "title_filter": _q_title_filter,
         "star_view": _q_star_view,
@@ -848,6 +958,58 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 """
 
 
+def _embedding_neardup_oracle_sql(dim: int = _EMB_DIM, threshold: float = 0.95,
+                                  planes: int = 6, tables: int = 6,
+                                  seed: int = 42) -> str:
+    """DuckDB replay of embedding_cosine_dedup_pairs over the same planted
+    corpus (embeddings UNION a ×1.5/+10000 copy): the SAME seeded
+    hyperplanes (inlined as literals), sign-bit buckets per table,
+    candidate self-join on (table, bucket), exact cosine filter on
+    candidates only. Computes the pairs FROM THE DATA — the planted-pair
+    closed form is not assumed (round-2 gate-hygiene fix)."""
+    from quad_processor_util_spark.operators.similarity import _hyperplanes
+
+    P = _hyperplanes(dim, planes, tables, seed)
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            "((list_dot_product(v, [{vec}]) >= 0)::BIGINT << {p})".format(
+                vec=", ".join(repr(x) for x in P[t][p]), p=p)
+            for p in range(planes)
+        )
+
+    banded = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {t} AS tbl, {bucket_expr(t)} AS bucket FROM c"
+        for t in range(tables)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(v, x -> x * 1.5) AS v
+  FROM base
+),
+banded AS (
+{banded}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b, list_cosine_similarity(ca.v, cb.v) AS sim
+  FROM pairs
+  JOIN c ca ON ca.vec_id = id_a
+  JOIN c cb ON cb.vec_id = id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM scored WHERE sim >= {threshold}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1": """
@@ -1002,6 +1164,17 @@ def oracle_sql() -> dict[str, str]:
                    'http://example.org/conv/' || user_id AS graph
             FROM events
         """,
+        # same quads whether extraction ran on the bucketed fast path or
+        # through stable_order's explicit repartition + secondary sort
+        "extract_kg_shuffled": f"""
+            SELECT DISTINCT
+                   {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
+                   'http://example.org/ontology/worksAt' AS predicate,
+                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
+                   'http://example.org/conv/' || user_id AS graph
+            FROM events
+        """,
+        "mint_iri": _mint_iri_oracle_sql(),
         "quad_filter": """
             SELECT 'http://example.org/user/' || user_id AS subject,
                    'http://example.org/ontology/' || event_type AS predicate,
@@ -1185,15 +1358,10 @@ def oracle_sql() -> dict[str, str]:
         # the literal object needs the XML escape chain (a no-op on digits,
         # kept for form); graph-less rows carry the reference's literal
         # 'BAD URI: null' context element
-        # closed form: scaling preserves hyperplane sign bits (guaranteed
-        # co-bucketing) and cosine(v, 1.5v) = 1; the strongest NATURAL pair
-        # in this data is ~0.51 << 0.95, so the planted pairs are the output
-        "embedding_neardup": """
-            SELECT vec_id AS id_a,
-                   vec_id + 10000 AS id_b,
-                   CAST(1.0 AS DOUBLE) AS sim
-            FROM embeddings
-        """,
+        # independent replay of the hyperplane bucketing + cosine filter
+        # (the planted ×1.5 pairs are guaranteed co-bucketed and cos=1, but
+        # the oracle derives the pairs from the data, not the construction)
+        "embedding_neardup": _embedding_neardup_oracle_sql(),
         "int_hex": """
             SELECT event_id,
                    to_hex(event_id) AS hx,

@@ -152,15 +152,36 @@ _TRIPLE_RE = (
 )
 
 
-def parse_nt_expr(lines_df: DataFrame, line_col: str = "line") -> DataFrame:
-    """Pure-Catalyst parse (regexp_extract chain). Literal unescaping is NOT
-    applied on this path (lexical forms kept raw) — use parse_nt_lines for
-    exact semantics; this path is for scan-speed benches over clean data."""
+def _unescape_expr(col: Column) -> Column:
+    """Literal unescape for the JVM path, pure Catalyst (ref: Quad.scala:
+    216-220 unescapes the lexical form; TurtleUtils.scala:51-90). A NUL
+    sentinel makes the sequential replaces single-pass-correct: '\\\\' is
+    captured FIRST, so a backslash freed by a later replace can never be
+    re-interpreted as starting a new escape (raw NUL cannot occur in an NT
+    line — the grammar forbids control chars; the exact path escapes them).
+    Residual gap vs the exact path: \\uXXXX / \\UXXXXXXXX stay raw (no
+    codepoint constructor in Catalyst) — parse_nt_lines handles those;
+    unknown escapes like '\\q' pass through unchanged on both paths."""
+    c = F.regexp_replace(col, r"\\\\", "\x00")
+    for pat, rep in ((r"\\t", "\t"), (r"\\b", "\b"), (r"\\n", "\n"),
+                     (r"\\r", "\r"), (r"\\f", "\f"), (r"\\\"", "\""),
+                     (r"\\'", "'")):
+        c = F.regexp_replace(c, pat, rep)
+    return F.regexp_replace(c, "\x00", "\\\\")
+
+
+def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
+                  unescape: bool = True) -> DataFrame:
+    """Pure-Catalyst parse (regexp_extract chain). Literal lexical forms get
+    the simple-escape unescape chain (\\\\ \\t \\b \\n \\r \\f \\\" \\');
+    \\uXXXX stays raw — the documented residual vs parse_nt_lines, which is
+    the exact path. unescape=False keeps lexical forms raw for scan-speed
+    benches over clean data."""
     c = F.col(line_col)
     g = lambda i: F.regexp_extract(c, _TRIPLE_RE, i)  # noqa: E731
     matched = c.rlike(_TRIPLE_RE)
     uri_obj = g(3)
-    lit = g(4)
+    lit = _unescape_expr(g(4)) if unescape else g(4)
     lang = g(5)
     dtype = g(6)
     graph = g(7)
