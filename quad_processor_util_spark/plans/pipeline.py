@@ -218,10 +218,16 @@ def link_unknown_mentions(
     from ..operators.linking import link_surface_forms
 
     surf_pred = EX + "mentionSurface"
-    # the quad stream is consumed by THREE branches (placeholders, rest,
-    # and the linking candidate surfaces) — cut the lineage so the upstream
-    # extraction runs once, not once per branch
-    quads = quads.localCheckpoint(eager=False)
+    # The quad stream is consumed by THREE branches (placeholders, rest, and
+    # the linking candidate surfaces): persist so the upstream extraction
+    # materializes ONCE — the links-broadcast job populates the cache, the
+    # main job reads it (verified by the row-touch accumulator test,
+    # tests/test_round3.py). persist beats localCheckpoint here: lineage is
+    # retained (an executor loss at 100 TB recomputes the lost partitions
+    # instead of failing the job) and the columnar InMemoryRelation serves
+    # the three different branch filters with batch-level pruning. The cache
+    # is released by Spark's ContextCleaner when the plan is GC'd.
+    quads = quads.persist()
     placeholders = quads.where(F.col("predicate") == surf_pred)
     rest = quads.where(F.col("predicate") != surf_pred)
     links = link_surface_forms(

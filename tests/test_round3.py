@@ -1,0 +1,130 @@
+"""Round-3 hardening: executor-side row-touch evidence.
+
+Two claims that previously rested on plan reading get accumulator proof:
+
+1. The composed linking pipeline (extract -> link_unknown_mentions ->
+   canonicalize -> distinct) materializes extraction EXACTLY ONCE per run —
+   the persist() in link_unknown_mentions serves all three consumer
+   branches (plans/pipeline.py).
+2. run_checkpointed resume does NOT recompute completed buckets: the
+   second (resumed) run's process function touches only the rows of the
+   buckets missing from the ledger, and the final output is identical to
+   an uninterrupted run (BASELINE.md resumability target; reference
+   resumable scan QuadReader.scala:163-203).
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest  # noqa: F401
+from pyspark.sql import functions as F
+
+from quad_processor_util_spark.datagen import build_entity_catalog, build_gazetteer
+from quad_processor_util_spark.plans import pipeline as pl
+
+
+def _transcripts(spark, n=400):
+    rows = [
+        (f"c{i % 40}", i // 40, "user",
+         "Ada Lovelace works at Turing Institute. also met Hoppr Labs.", None)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+
+
+def _counting_extract(spark, monkeypatch):
+    """Patch extract_batch so every row it sees bumps a Spark accumulator
+    (executor-side: counts actual Arrow-batch row touches, not plan nodes)."""
+    import quad_processor_util_spark.plans.extract_vec as ev
+
+    acc = spark.sparkContext.accumulator(0)
+    orig = ev.extract_batch
+
+    def counted(pdf, gaz, policy, emit_unknown):
+        acc.add(len(pdf))
+        return orig(pdf, gaz, policy, emit_unknown)
+
+    monkeypatch.setattr(ev, "extract_batch", counted)
+    return acc
+
+
+def test_linking_pipeline_materializes_extraction_once(spark, monkeypatch):
+    acc = _counting_extract(spark, monkeypatch)
+    tr = _transcripts(spark, n=400)
+    cat = build_entity_catalog()
+    gaz = build_gazetteer(cat)
+
+    quads = pl.extract_quads(tr, gaz.surface_to_iri, emit_unknown=True)
+    linked = pl.link_unknown_mentions(quads, spark.createDataFrame(cat))
+    out = linked.select("subject", "predicate", "obj", "graph").distinct()
+    n = out.count()
+    assert n > 0
+    # three consumer branches (placeholders, rest, link surfaces) + the
+    # final count: every input row extracted exactly once
+    assert acc.value == 400
+
+
+def test_resume_touches_only_missing_buckets(spark, monkeypatch, tmp_path):
+    acc = _counting_extract(spark, monkeypatch)
+    tr = _transcripts(spark, n=400)
+    gaz = build_gazetteer(build_entity_catalog())
+
+    def process(df):
+        return pl.extract_quads(df, gaz.surface_to_iri)
+
+    from quad_processor_util_spark.plans.checkpoint import (
+        Ledger, bucket_expr, run_checkpointed,
+    )
+
+    n_buckets = 4
+    # bucket sizes under the same hash the checkpoint runner uses
+    sizes = {
+        r["b"]: r["n"]
+        for r in tr.groupBy(bucket_expr("conv_id", n_buckets).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(sizes.values()) == 400
+
+    # interrupted run: crash after the first completed bucket
+    boom = RuntimeError("simulated interrupt")
+    calls = {"n": 0}
+
+    def flaky(df):
+        if calls["n"] >= 1:
+            raise boom
+        calls["n"] += 1
+        return process(df)
+
+    out1 = tmp_path / "out1"
+    ledger1 = str(tmp_path / "ledger1.jsonl")
+    try:
+        run_checkpointed(tr, flaky, str(out1), ledger1, n_buckets=n_buckets)
+        raise AssertionError("interrupt did not fire")
+    except RuntimeError as e:
+        assert e is boom
+    done_after_crash = set(Ledger(ledger1).completed())
+    assert len(done_after_crash) == 1
+
+    # resumed run: the accumulator must grow by ONLY the missing buckets
+    before = acc.value
+    run_checkpointed(tr, process, str(out1), ledger1, n_buckets=n_buckets)
+    touched = acc.value - before
+    expected = sum(n for b, n in sizes.items() if b not in done_after_crash)
+    assert touched == expected  # completed bucket NOT recomputed
+    assert set(Ledger(ledger1).completed()) == set(range(n_buckets))
+
+    # and the resumed output equals an uninterrupted run's output
+    out2 = tmp_path / "out2"
+    run_checkpointed(tr, process, str(out2), str(tmp_path / "ledger2.jsonl"),
+                     n_buckets=n_buckets)
+
+    def read_all(p):
+        files = glob.glob(str(p / "bucket=*"))
+        df = spark.read.parquet(*files)
+        return sorted(tuple(r) for r in df.collect())
+
+    assert read_all(out1) == read_all(out2)
