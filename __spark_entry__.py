@@ -617,6 +617,96 @@ FROM tok CROSS JOIN tmpl
 """
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal gate: synthesize REAL media binaries (P6 PPM images +
+    PCM-16 WAV audio, every byte a function of md5(doc_id)), push them
+    through the real library-free decoders (multimodal.decode_media:
+    numpy PPM parse, stdlib wave) and the feature extractors (average-hash,
+    RMS, zero-crossing rate). The oracle re-derives every feature from md5
+    hex arithmetic in SQL — it never sees the binary, so the decode path is
+    independently checked end-to-end."""
+    from quad_processor_util_spark.multimodal import (
+        decode_media, synth_media_from_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    feats = decode_media(synth_media_from_ids(docs))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height",
+        F.round("duration_ms", 9).alias("duration_ms"),
+        F.round("rms", 9).alias("rms"),
+        F.round("zcr", 9).alias("zcr"),
+        "ahash",
+    )
+
+
+def _media_features_oracle_sql() -> str:
+    """DuckDB replay of _q_media_features from md5 hex alone.
+
+    Image: 4×4 pixels with equal RGB channels = md5 byte i → the 8×8
+    nearest-neighbor thumbnail repeats each pixel 2×2, grays are exact
+    integers, the average is sum/16, and the average-hash bit for thumbnail
+    position p is (m[i(p)] > avg) — folded row-major MSB-first, i.e. weight
+    2^(63-p), with the p=0..? group of pixel 0 wrapping negative in two's
+    complement. The integer comparison m_i*16 > sum(m) is exactly numpy's
+    float compare (both sides exact in float64).
+    Audio: sample i = (m_i-128)*256 → normalized x_i = (m_i-128)/128;
+    x_i² is a multiple of 2^-14 so the RMS sum is order-independent exact:
+    rms = sqrt(Σ(m_i-128)² / 262144). ZCR = sign-flip count / 15 (signbit
+    of -0.0..: sample 0 is positive, so the predicate is m_i < 128)."""
+    mdef = ",\n         ".join(
+        f"('0x' || substr(h, {2 * j + 1}, 2))::BIGINT AS m{j}"
+        for j in range(16)
+    )
+    # per-pixel ahash weights: pixel i covers thumbnail cells
+    # (2r..2r+1, 2c..2c+1); weight = sum of 2^(63-p), two's-complement signed
+    weights = []
+    for i in range(16):
+        r, c = divmod(i, 4)
+        w = 0
+        for y in (2 * r, 2 * r + 1):
+            for x in (2 * c, 2 * c + 1):
+                w += 1 << (63 - (y * 8 + x))
+        if w >= 1 << 63:
+            w -= 1 << 64
+        weights.append(w)
+    msum = " + ".join(f"m{j}" for j in range(16))
+    ahash = "\n             + ".join(
+        f"(CASE WHEN m{j} * 16 > ({msum}) THEN CAST({weights[j]} AS BIGINT) "
+        f"ELSE 0 END)"
+        for j in range(16)
+    )
+    sumsq = " + ".join(f"(m{j} - 128) * (m{j} - 128)" for j in range(16))
+    flips = " + ".join(
+        f"(CASE WHEN (m{j} < 128) != (m{j - 1} < 128) THEN 1 ELSE 0 END)"
+        for j in range(1, 16)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {mdef}
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(59 AS BIGINT) AS n_bytes,
+       4 AS width, 4 AS height,
+       CAST(NULL AS DOUBLE) AS duration_ms,
+       CAST(NULL AS DOUBLE) AS rms,
+       CAST(NULL AS DOUBLE) AS zcr,
+       CAST({ahash} AS BIGINT) AS ahash
+FROM m
+UNION ALL
+SELECT doc_id + 1000000 AS media_id, 'audio' AS kind,
+       CAST(76 AS BIGINT) AS n_bytes,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       round(16.0 / 8000.0 * 1000.0, 9) AS duration_ms,
+       round(sqrt(({sumsq})::DOUBLE / 262144.0), 9) AS rms,
+       round(({flips})::DOUBLE / 15.0, 9) AS zcr,
+       CAST(NULL AS BIGINT) AS ahash
+FROM m
+"""
+
+
 def _q_codepoint_order(spark, sf_dir):
     """Global code-point ordering parity (the reference's CodePointComparator,
     sort/CodePointComparator.scala:19-43): rank every document by binary
@@ -744,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_kg": _q_extract_kg,
         "extract_kg_shuffled": _q_extract_kg_shuffled,
         "mint_iri": _q_mint_iri,
+        "media_features": _q_media_features,
         "quad_filter": _q_quad_filter,
         "title_filter": _q_title_filter,
         "star_view": _q_star_view,
@@ -1175,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "mint_iri": _mint_iri_oracle_sql(),
+        "media_features": _media_features_oracle_sql(),
         "quad_filter": """
             SELECT 'http://example.org/user/' || user_id AS subject,
                    'http://example.org/ontology/' || event_type AS predicate,

@@ -238,10 +238,61 @@ def decode_media(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
                         f"(PPM/WAV decode for real; JPEG/PNG/MP3/MP4 need "
                         f"libs that are not installed)"
                     )
-            yield pd.DataFrame(rows, columns=cols)
+            out = pd.DataFrame(rows, columns=cols)
+            # mixed int/None columns make pandas infer float64, which
+            # silently truncates 64-bit hashes to the 53-bit mantissa —
+            # force the nullable integer dtype (caught by the media gate)
+            out["ahash"] = pd.array([r[9] for r in rows], dtype="Int64")
+            yield out
 
     cols = media.select("media_id", "kind", "mime", "payload")
     return cols.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+AUDIO_ID_OFFSET = 1_000_000
+_SYNTH_SR = 8000  # Hz
+_SYNTH_N = 16     # md5 digest length drives both pixel and sample counts
+
+
+def synth_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table from an id column: per id, one REAL 4×4 P6
+    PPM image (pixel i has all three channels = md5(str(id)) byte i) and one
+    REAL PCM-16 mono WAV (sample i = (md5_byte_i - 128) * 256 at 8 kHz).
+    Image rows keep media_id = id; audio rows get id + AUDIO_ID_OFFSET.
+
+    Because every payload byte is a pure function of md5(str(id)) — which
+    Spark, DuckDB and Python compute identically — the features that
+    decode_media extracts (ahash, RMS, ZCR, dims, durations) are exactly
+    re-derivable from md5 hex in SQL, WITHOUT decoding any binary: the
+    correctness oracle for the media pipeline. The construction keeps the
+    feature math exact in float64 (equal RGB channels → integer grays;
+    samples are multiples of 256 → squared normalized samples are multiples
+    of 2^-14, so sums are order-independent), making the gate bit-stable."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                m = np.frombuffer(
+                    hashlib.md5(str(i).encode()).digest(), dtype=np.uint8
+                )
+                img = np.repeat(m, 3).reshape(4, 4, 3)
+                rows.append((i, "image", "image/ppm", encode_ppm(img),
+                             4, 4, None))
+                samples = ((m.astype(np.int32) - 128) * 256).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(_SYNTH_SR)
+                    wf.writeframes(samples.tobytes())
+                rows.append((i + AUDIO_ID_OFFSET, "audio", "audio/wav",
+                             buf.getvalue(), None, None,
+                             int(_SYNTH_N * 1000 / _SYNTH_SR)))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return ids.select(id_col).mapInPandas(_synth, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
