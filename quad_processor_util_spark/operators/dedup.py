@@ -59,6 +59,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def _size_bytes(raw: str) -> int:
+    """Parse a Spark size conf value ('134217728b', '128m', '1g')."""
+    s = raw.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(s) * mult
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate the scan split count from file metadata only — no RDD is
+    built (df.rdd on a hot constructor materializes the lineage driver-side
+    per call). inputFiles() is a plan walk; sizes come from the filesystem
+    for local files. Non-file sources (in-memory views, remote FS) return a
+    floor of their file count (0 for views → treated as too-coarse)."""
+    import math
+    import os
+
+    files = df.inputFiles()
+    if not files:
+        return 0
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b")
+    mpb = max(1, _size_bytes(raw))
+    splits = 0
+    for p in files:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            splits += max(1, math.ceil(os.path.getsize(local) / mpb))
+        except OSError:
+            return len(files)
+    return splits
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Re-spread a too-coarse input across the session's shuffle width.
 
@@ -68,7 +107,7 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     as thousands of splits and this is a no-op; the repartition only ever
     moves the projected (id, text) columns."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if _estimated_scan_partitions(df) < max(2, target // 2):
         return df.repartition(target)
     return df
 
