@@ -54,6 +54,9 @@ def main() -> None:
 
     bench_names = [
         "extract_kg",
+        "extract_kg_shuffled",
+        "mint_iri",
+        "media_features",
         "pipeline_e2e",
         "pipeline_full",
         "tpch_q1",
