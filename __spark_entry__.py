@@ -316,6 +316,88 @@ def _q_lsh_topk(spark, sf_dir):
     )
 
 
+def _ivf_gate_centroids(dim: int = _EMB_DIM, n_lists: int = 8, seed: int = 7):
+    """Deterministic unit-norm centroids for the IVF gate: seeded gaussians
+    (the LSH hyperplane generator), normalized in pure Python so the exact
+    same float64 values are passed to ivf_topk AND inlined into the DuckDB
+    oracle. Fixing the quantizer is what makes IVF SQL-replayable — the
+    data-fit k-means variant (ivf_fit_centroids) stays pytest-covered."""
+    import math
+
+    from quad_processor_util_spark.operators.similarity import _hyperplanes
+
+    out = []
+    for vec in _hyperplanes(dim, n_lists, 1, seed)[0]:
+        nrm = math.sqrt(sum(x * x for x in vec))
+        out.append([x / nrm for x in vec])
+    return out
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN gate: corpus assigned to its nearest centroid list, queries
+    probe their 3 nearest lists, exact cosine re-rank on candidates only
+    (operators/similarity.py ivf_topk with explicit centroids). Assignment
+    order is invariant to the row normalization (positive scaling), so the
+    oracle ranks raw dot products."""
+    from quad_processor_util_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, dim=_EMB_DIM, k=3, n_lists=8, nprobe=3,
+                    centroids=_ivf_gate_centroids()).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def _ivf_topk_oracle_sql(dim: int = _EMB_DIM, k: int = 3, n_lists: int = 8,
+                         nprobe: int = 3) -> str:
+    """DuckDB replay of ivf_topk with the gate's fixed centroids: rank each
+    vector's centroid dot products (descending, list-index tie-break — the
+    engine's stable argsort), corpus keeps rank 1, queries probe ranks
+    1..nprobe, candidates join on list_id, exact cosine re-rank."""
+    C = _ivf_gate_centroids(dim, n_lists)
+    entries = ",\n    ".join(
+        "{{'j': {j}, 'd': list_dot_product(v, [{vec}])}}".format(
+            j=j, vec=", ".join(repr(x) for x in C[j]))
+        for j in range(n_lists)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, v, u.j AS list_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY u.d DESC, u.j) AS rnk
+  FROM c, unnest([
+    {entries}
+  ]) AS t(u)
+),
+cb AS (SELECT vec_id, v, list_id FROM assign WHERE rnk = 1),
+qb AS (
+  SELECT vec_id AS query_id, v AS qv, list_id
+  FROM assign WHERE rnk <= {nprobe} AND vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM cb b JOIN qb q USING (list_id)
+  WHERE b.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(cq.v, cc.v) AS sim
+  FROM cand
+  JOIN c cq ON cq.vec_id = query_id
+  JOIN c cc ON cc.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+"""
+
+
 def _events_quads(spark, sf_dir):
     """Deterministic quad table derived from events (shared by filter/star
     view queries and their SQL oracles)."""
@@ -617,6 +699,80 @@ FROM tok CROSS JOIN tmpl
 """
 
 
+# URI->IRI decode templates (X4, UriToIriDecoder.java:47-127): surface =
+# pre + token + post; expected = exp_pre + token + exp_post, hand-derived
+# per template. Coverage: '+'-to-space rule (and its leading-'+' and
+# %20-suppression quirks), IRI-reserved %XX kept encoded (case-sensitive,
+# so lowercase '%3f' also kept — via the `<= 'F'` validity guard), basic
+# and multibyte UTF-8 runs, bracket-guarded sections, truncated escapes,
+# and the sub-'0' invalid-hex path that yields U+FFFD.
+_U2I_TEMPLATES = [
+    ("plus_space", "a+b ", "", "a b ", ""),
+    ("plus_at_zero", "+ab ", "", "+ab ", ""),
+    ("plus_pct20", "a+b%20", "", "a+b ", ""),
+    ("reserved", "x%3Fy%23z", "", "x%3Fy%23z", ""),
+    ("reserved_bracket", "x%5B%5Dy", "", "x%5B%5Dy", ""),
+    ("res_lower", "x%3fy", "", "x%3fy", ""),
+    ("basic", "a%41b", "", "aAb", ""),
+    ("utf8_run", "c%C3%A9f", "", "céf", ""),
+    ("bracket", "[%41]%41", "", "[%41]A", ""),
+    ("truncated", "", "%4", "", "%4"),
+    ("trailing", "", "%", "", "%"),
+    ("mixed_run", "a%20%3F%20b", "", "a %3F b", ""),
+    ("invalid_low", "a%:0b", "", "a�b", ""),
+]
+
+
+def _q_uri_to_iri(spark, sf_dir):
+    """URI->IRI decode gate (X4): reference-faithful reserved-set handling
+    and edge-case quirks over document md5 tokens. The oracle states the
+    expected decode per template as hand-derived constants — it never runs
+    the engine's decoder."""
+    from quad_processor_util_spark.functions.uri import uri_to_iri_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    entries = [
+        F.struct(
+            F.lit(name).alias("tmpl"),
+            F.concat(F.lit(pre), F.col("t"), F.lit(post)).alias("surface"),
+        )
+        for name, pre, post, _, _ in _U2I_TEMPLATES
+    ]
+    surfaces = (
+        docs.select("doc_id", tok.alias("t"))
+        .select("doc_id", F.explode(F.array(*entries)).alias("s"))
+        .select("doc_id", "s.tmpl", "s.surface")
+    )
+    return surfaces.select(
+        "doc_id", "tmpl", "surface",
+        uri_to_iri_udf(F.col("surface")).alias("iri_form"),
+    )
+
+
+def _uri_to_iri_oracle_sql() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({q(name)}, {q(pre)}, {q(post)}, {q(epre)}, {q(epost)})"
+        for name, pre, post, epre, epost in _U2I_TEMPLATES
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS t
+  FROM documents
+), tmpl(tmpl, pre, post, epre, epost) AS (
+  VALUES
+      {rows}
+)
+SELECT doc_id, tmpl,
+       pre || t || post AS surface,
+       epre || t || epost AS iri_form
+FROM tok CROSS JOIN tmpl
+"""
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal gate: synthesize REAL media binaries (P6 PPM images +
     PCM-16 WAV audio, every byte a function of md5(doc_id)), push them
@@ -835,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_kg_shuffled": _q_extract_kg_shuffled,
         "mint_iri": _q_mint_iri,
         "media_features": _q_media_features,
+        "uri_to_iri": _q_uri_to_iri,
         "quad_filter": _q_quad_filter,
         "title_filter": _q_title_filter,
         "star_view": _q_star_view,
@@ -858,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -1267,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mint_iri": _mint_iri_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "uri_to_iri": _uri_to_iri_oracle_sql(),
         "quad_filter": """
             SELECT 'http://example.org/user/' || user_id AS subject,
                    'http://example.org/ontology/' || event_type AS predicate,
@@ -1352,6 +1511,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
+        # IVF with the gate's FIXED seeded centroids (data-fit k-means stays
+        # pytest-only — a quantizer fit on a data sample is not SQL-replayable)
+        "ivf_topk": _ivf_topk_oracle_sql(),
         # extract -> CC canonicalize -> excluded drop -> distinct: the
         # canonical mapping over _e2e_alias_edges is deterministic constants
         # (canonical = component-min IRI), inlined as CASE rewrites

@@ -69,6 +69,8 @@ def main() -> None:
         "jaccard_pairs",
         "cosine_topk",
         "lsh_topk",
+        "ivf_topk",
+        "uri_to_iri",
         "sessionize",
         "star_group",
         "text_metrics",

@@ -21,6 +21,7 @@ from ..oracle import (
     nt_escape,
     nt_unescape,
     percent_decode_lenient,
+    uri_to_iri_decode,
     wiki_encode,
 )
 
@@ -41,6 +42,14 @@ def wiki_encode_udf(s: pd.Series) -> pd.Series:
 def percent_decode_udf(s: pd.Series) -> pd.Series:
     """Lenient %XX decode (UriDecoder.java:41-102)."""
     return s.map(lambda x: percent_decode_lenient(x) if isinstance(x, str) else None)
+
+
+@pandas_udf(StringType())
+def uri_to_iri_udf(s: pd.Series) -> pd.Series:
+    """URI -> IRI decode keeping the IRI-reserved set encoded, bracket-aware,
+    with the reference's exact-case/validity quirks
+    (UriToIriDecoder.java:47-127)."""
+    return s.map(lambda x: uri_to_iri_decode(x) if isinstance(x, str) else None)
 
 
 @pandas_udf(StringType())

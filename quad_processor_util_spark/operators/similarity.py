@@ -252,7 +252,9 @@ def ivf_assign(
             X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             sims = X @ C.T
-            top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+            # stable sort: exact ties (e.g. a zero vector's all-0 sims) break
+            # by list index deterministically, not by quicksort accident
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
             yield pd.DataFrame({
                 id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
                 vec_col: np.repeat(pdf[vec_col].to_numpy(), nprobe),

@@ -107,6 +107,85 @@ def percent_decode_lenient(s: str) -> str:
     return out.decode("utf-8", errors="replace")
 
 
+_IRI_RESERVED = {"3F", "23", "5B", "5D", "7D"}  # exact-case list (uppercase)
+
+
+def _hex_nibble(c: str) -> int:
+    """Reference hex-digit decode incl. its out-of-range behavior: chars
+    that pass the `<= 'F'` guard but are not hex digits decode to -1, whose
+    low nibble is 15 (ref: UriToIriDecoder.java:30-44 with assertions
+    disabled, the production configuration)."""
+    o = ord(c)
+    if 0x30 <= o <= 0x39:
+        return o - 0x30
+    if 0x61 <= o <= 0x66:
+        return o - 0x57
+    if 0x41 <= o <= 0x46:
+        return o - 0x37
+    return -1
+
+
+def uri_to_iri_decode(s: str) -> str:
+    """URI -> IRI decode (ref: uri/UriToIriDecoder.java:47-127), faithful to
+    the reference's observable behavior:
+
+    - '+' becomes space ONLY when the first '+' is at index > 0 AND the
+      string contains no '%20' (java s.indexOf('+') > 0 — a leading '+'
+      disables the rule);
+    - IRI-reserved sequences %3F %23 %5B %5D %7D stay encoded — matched
+      case-sensitively, so lowercase '%3f' is NOT reserved;
+    - the validity guard is `c1 <= 'F' and c2 <= 'F'`: lowercase hex fails
+      it (sequence kept verbatim), while sub-'0' punctuation passes and
+      decodes through the -1 & 0xf nibble path;
+    - consecutive %-groups accumulate into one byte buffer decoded as UTF-8
+      with replacement (malformed -> U+FFFD);
+    - no decoding between '[' and ']' (IPv6-literal guard);
+    - a truncated '%X'/'%' at end of string is emitted raw."""
+    if s.find("+") > 0 and "%20" not in s:
+        s = s.replace("+", " ")
+    if not s or "%" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    between = False
+    while i < n:
+        c = s[i]
+        if c == "[":
+            between = True
+        elif between and c == "]":
+            between = False
+        if c != "%" or between:
+            out.append(c)
+            i += 1
+            continue
+        bb = bytearray()
+        while True:
+            if i + 2 < n:
+                c1, c2 = s[i + 1], s[i + 2]
+                if c1 + c2 not in _IRI_RESERVED and c1 <= "F" and c2 <= "F":
+                    bb.append(((_hex_nibble(c1) & 0xF) << 4)
+                              | (_hex_nibble(c2) & 0xF))
+                else:
+                    bb.append(0x25)
+                    bb.append(ord(c1) & 0xFF)
+                    bb.append(ord(c2) & 0xFF)
+                i += 2
+            elif i + 1 < n:
+                bb.append(0x25)
+                bb.append(ord(s[i + 1]) & 0xFF)
+                i += 1
+            else:
+                bb.append(0x25)
+            i += 1
+            if i >= n:
+                break
+            c = s[i]
+            if c != "%":
+                break
+        out.append(bb.decode("utf-8", errors="replace"))
+    return "".join(out)
+
+
 def decode_to_fixpoint(s: str, max_iters: int = 5) -> str:
     """Repeated lenient decode until stable (ref: UriUtils.scala:133-138
     decode-until-fixpoint loop), iteration-capped."""

@@ -56,6 +56,35 @@ class TestPercentDecode:
         assert percent_decode_lenient("%C3%A9") == "é"
 
 
+class TestUriToIri:
+    """X4 (uri/UriToIriDecoder.java:47-127) — the reference's quirks are the
+    spec: exact-case reserved match, `<= 'F'` validity guard, leading-'+'
+    and %20 suppression of the plus rule, bracket guard, -1&0xf nibbles."""
+
+    def test_plus_rules(self):
+        from quad_processor_util_spark.oracle import uri_to_iri_decode as d
+        assert d("a+b") == "a b"
+        assert d("+ab") == "+ab"          # indexOf('+') == 0 disables rule
+        assert d("a+b%20c") == "a+b c"    # %20 present keeps '+'
+
+    def test_reserved_kept_case_sensitive(self):
+        from quad_processor_util_spark.oracle import uri_to_iri_decode as d
+        assert d("x%3Fy%23z%5B%5D%7D") == "x%3Fy%23z%5B%5D%7D"
+        assert d("x%3fy") == "x%3fy"      # lowercase fails the <='F' guard
+        assert d("a%41b%c3%a9") == "aAb%c3%a9"
+
+    def test_runs_brackets_truncation(self):
+        from quad_processor_util_spark.oracle import uri_to_iri_decode as d
+        assert d("c%C3%A9f") == "céf"
+        assert d("a%20%3F%20b") == "a %3F b"  # reserved inside a run
+        assert d("[%41]%41") == "[%41]A"
+        assert d("x%4") == "x%4" and d("x%") == "x%"
+
+    def test_invalid_low_chars_decode_via_nibble_quirk(self):
+        from quad_processor_util_spark.oracle import uri_to_iri_decode as d
+        assert d("a%:0b") == "a�b"   # ':' passes guard, -1&0xf -> 0xF0
+
+
 class TestWikiEncode:
     def test_clean_space(self):
         assert clean_space("  a _ b__c  ") == "a b c"

@@ -187,7 +187,8 @@ largest 4:1 pair the host can physically scale)
 Notes: single-machine thread-level substitute for the N→4N executor
 criterion per BASELINE.md. Above ~8 busy processes this box loses per-core
 clock (SMT/turbo/co-tenants): raw multiprocessing on the same extraction
-kernel caps at ~0.75-0.83 at 8→32 (see calibration below), so the upper
+kernel caps at ~0.68-0.75 at 8→32 (measured per round; see calibration
+below), so the upper
 pairs measure the host, not the engine — they are published anyway.
 The workload is sized so per-row extraction dominates fixed job overhead —
 the regime a 1000-executor cluster reading 100 TB lives in; at toy scale
