@@ -532,8 +532,8 @@ def _q_pipeline_full(spark, sf_dir):
     -> fuzzy entity linking -> CC canonicalize + exclusion -> distinct.
     The transcripts carry a deterministic unknown surface ('Hoppr Labs', a
     typo of a catalog org) in every turn; linking resolves it by char-3-gram
-    Jaccard x weight to dbr:Hopper_Labs (score 0.545, verified constant —
-    both engines derive it from the same inputs, so the oracle inlines it)."""
+    Jaccard x weight scoring over the catalog — and the oracle REPLAYS that
+    scoring in SQL to derive the linked entity rather than stating it."""
     from quad_processor_util_spark.operators.cc import canonical_mapping
     from quad_processor_util_spark.plans.pipeline import (
         canonicalize, link_unknown_mentions,
@@ -1536,10 +1536,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE obj != '{_DBR}Knuth_Press'
         """,
         # 4-stage composition: worksAt quads (rewritten/excluded exactly as
-        # pipeline_e2e) UNION the fuzzy-linked mention quads — 'Hoppr Labs'
-        # resolves to dbr:Hopper_Labs (deterministic constant, see query)
+        # pipeline_e2e) UNION the fuzzy-linked mention quads. The linked
+        # entity for the planted 'Hoppr Labs' surface is DERIVED by
+        # replaying the 3-gram jaccard × form-weight scoring over the
+        # catalog in SQL (same replay as the fuzzy_link oracle), not stated
+        # as a constant (round-2 gate-hygiene fix)
         "pipeline_full": f"""
-            WITH q AS (
+            WITH cat(surface_form, entity_iri, form_weight) AS (
+              VALUES {", ".join(
+                  f"('{n}', '{_GAZ[n]}', 1.0)" for n in _PEOPLE + _ORGS)}
+            ), sg AS (
+              SELECT list_distinct([substr(lower(trim('Hoppr Labs')), i, 3)
+                                    FOR i IN generate_series(
+                                        1, len(lower(trim('Hoppr Labs'))) - 2)]) AS g
+            ), cg AS (
+              SELECT entity_iri, form_weight,
+                     list_distinct([substr(lower(trim(surface_form)), i, 3)
+                                    FOR i IN generate_series(
+                                        1, len(lower(trim(surface_form))) - 2)]) AS g
+              FROM cat
+            ), linked AS (
+              SELECT entity_iri FROM (
+                SELECT c.entity_iri,
+                       len(list_intersect(s.g, c.g)) * 1.0
+                         / len(list_distinct(s.g || c.g)) AS jaccard,
+                       len(list_intersect(s.g, c.g)) * 1.0
+                         / len(list_distinct(s.g || c.g)) * c.form_weight AS score
+                FROM sg s CROSS JOIN cg c
+              ) WHERE jaccard >= 0.4
+              ORDER BY score DESC, entity_iri LIMIT 1
+            ), q AS (
               SELECT {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
                      'http://example.org/ontology/worksAt' AS predicate,
                      {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
@@ -1565,9 +1591,9 @@ def oracle_sql() -> dict[str, str]:
                      'http://example.org/conv/' || user_id || '/turn/'
                          || CAST(turn_idx AS VARCHAR) AS subject,
                      'http://example.org/ontology/mentions' AS predicate,
-                     '{_DBR}Hopper_Labs' AS obj,
+                     linked.entity_iri AS obj,
                      'http://example.org/conv/' || user_id AS graph
-              FROM turns
+              FROM turns CROSS JOIN linked
             )
             SELECT * FROM works UNION ALL SELECT * FROM mentions
         """,
