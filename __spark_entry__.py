@@ -36,40 +36,21 @@ from quad_processor_util_spark.plans.pipeline import extract_quads
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
-# fixed mini-gazetteer for the events->transcripts derivation (q_extract/entry)
-_PEOPLE = ["Ada Lovelace", "Alan Turing", "Grace Hopper", "Barbara Liskov"]
-_ORGS = ["Turing Institute", "Hopper Labs", "Liskov Systems", "Knuth Press"]
-_DBR = "http://dbpedia.org/resource/"
-_GAZ = {n: _DBR + n.replace(" ", "_") for n in _PEOPLE + _ORGS}
+# the flagship derivation + demo gazetteer live in the package (demo.py) so
+# the spark-submit --py-files launch path runs the SAME job; these aliases
+# keep the oracle-SQL builders and the scaling bench on one set of constants
+from quad_processor_util_spark.demo import (  # noqa: E402
+    DBR as _DBR,
+    GAZETTEER as _GAZ,
+    ORGS as _ORGS,
+    PEOPLE as _PEOPLE,
+    events_to_transcripts as _events_as_transcripts,
+    read_table as _t_pkg,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    try:
-        # JVM case mapping (ASCII-identical): avoids a ~60s one-time ICU
-        # title-case table build on the first lower() of a fresh JVM
-        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
-    except Exception:
-        pass
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-
-
-def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive a deterministic transcripts table from the driver's events
-    table (BASELINE.json input shape) — same construction as the SQL oracle."""
-    ev = _t(spark, sf_dir, "events")
-    people = F.array(*[F.lit(p) for p in _PEOPLE])
-    orgs = F.array(*[F.lit(o) for o in _ORGS])
-    a = F.element_at(people, (F.col("event_id") % 4 + 1).cast("int"))
-    b = F.element_at(orgs, (F.floor((F.col("event_id") % 16) / 4) + 1).cast("int"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.concat(a, F.lit(" works at "), b, F.lit(".")).alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.col("ts"),
-    )
+    return _t_pkg(spark, sf_dir, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
