@@ -54,31 +54,35 @@ print("PREP_ROWS", spark.read.parquet({prep_dir!r}).count(), flush=True)
 spark.stop()
 """
 
+# The measured child is launched through the REAL spark-submit binary with
+# the --py-files dist zip — the north star's deployment form ("run via
+# spark-submit --py-files"), with the master set on the command line.
 _CHILD = r"""
-import json, os, sys, time
-sys.path.insert(0, {repo!r})
-from quad_processor_util_spark.session import get_spark
-from __spark_entry__ import _GAZ
+import json, sys, time
+from pyspark.sql import SparkSession
+
+cpus = int(sys.argv[1])
+prep_dir = sys.argv[2]
+spark = SparkSession.builder.appName("scaling-bench").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+from quad_processor_util_spark.demo import GAZETTEER
 from quad_processor_util_spark.plans.pipeline import extract_quads
 
-cpus = {cpus}
-spark = get_spark("scaling-bench", parallelism=cpus, shuffle_partitions=2 * cpus,
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": "1048576",
-                               "spark.sql.files.openCostInBytes": "131072"}})
-spark.sparkContext.setLogLevel("ERROR")
-tr = spark.read.parquet({prep_dir!r})
+tr = spark.read.parquet(prep_dir)
 # full-width warm: every task slot spawns its Python worker, codegen compiles
-extract_quads(tr.limit(200000).repartition(cpus), _GAZ).distinct().count()
+extract_quads(tr.limit(200000).repartition(cpus), GAZETTEER).distinct().count()
 n_turns = tr.count()
 t0 = time.time()
-quads = (extract_quads(tr, _GAZ, assume_bucketed=True)
+quads = (extract_quads(tr, GAZETTEER, assume_bucketed=True)
          .dropDuplicates(["subject", "predicate", "obj", "datatype", "language"])
          .count())
 dt = time.time() - t0
-print(json.dumps({{"cpus": cpus, "sec": dt, "turns": n_turns,
-                   "turns_per_sec": n_turns / dt, "quads": quads}}), flush=True)
+print(json.dumps({"cpus": cpus, "sec": dt, "turns": n_turns,
+                  "turns_per_sec": n_turns / dt, "quads": quads}), flush=True)
 spark.stop()
 """
+
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
 
 def _run(code: str) -> str:
@@ -89,9 +93,33 @@ def _run(code: str) -> str:
     return out.stdout
 
 
-def run_level(cpus: int) -> dict:
-    out = _run(_CHILD.format(repo=REPO, cpus=cpus, prep_dir=PREP_DIR))
-    line = [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
+def _pyfiles_zip() -> str:
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_pyfiles import build
+
+    return build()
+
+
+def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [SPARK_SUBMIT, "--master", f"local[{cpus}]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", f"spark.sql.shuffle.partitions={2 * cpus}",
+         "--conf", "spark.sql.session.timeZone=UTC",
+         "--conf", "spark.sql.icu.caseMappings.enabled=false",
+         "--conf", "spark.sql.files.maxPartitionBytes=1048576",
+         "--conf", "spark.sql.files.openCostInBytes=131072",
+         "--conf", "spark.driver.memory=8g",
+         "--py-files", zip_path,
+         child_py, str(cpus), PREP_DIR],
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
 
@@ -106,11 +134,17 @@ def main() -> None:
                                  prep_dir=PREP_DIR))
     n_rows = int([ln for ln in prep_out.splitlines()
                   if ln.startswith("PREP_ROWS")][-1].split()[1])
+    import tempfile
+    zip_path = _pyfiles_zip()
+    child_py = os.path.join(tempfile.mkdtemp(prefix="scaling_child_"),
+                            "scaling_child.py")
+    with open(child_py, "w") as f:
+        f.write(_CHILD)
     levels = sorted({c for n in ns for c in (n, 4 * n)})
     by_level: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(trials):  # interleaved: host variance hits all levels
         for c in levels:
-            by_level[c].append(run_level(c))
+            by_level[c].append(run_level(c, child_py, zip_path))
     # true middle for odd trial counts; the LOWER middle (slower trial) for
     # even counts — conservative, never best-of-N masquerading as median
     med = lambda ts: sorted(ts, key=lambda r: r["turns_per_sec"])[(len(ts) - 1) // 2]
@@ -154,8 +188,11 @@ Protocol (BASELINE.md): same flagship job — read transcripts parquet
 path / an Iceberg bucket(conv_id) spec produces) → vectorized mention
 detection + triple extraction (mapInPandas, Arrow; the conv_id re-shuffle
 is skipped because the table layout already guarantees it) →
-5-field-identity dedup → count — on the SAME input at two parallelism levels in separate
-JVMs. Input: events-derived transcripts replicated ×{repl}
+5-field-identity dedup → count — on the SAME input at two parallelism
+levels, each level launched through the real `spark-submit --py-files
+dist/quad_processor_util_spark.zip` with `--master local[N]` on the
+command line (the north star's deployment form), in separate JVMs.
+Input: events-derived transcripts replicated ×{repl}
 ({n_rows:,} turns), built untimed and shared by all levels. Full-width
 warm-up (JVM codegen, Python workers, Arrow init) excluded;
 `spark.sql.shuffle.partitions` = 2× the level's cores; {trials} interleaved
