@@ -299,7 +299,13 @@ def ngram_jaccard_pairs(
     hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
         F.col("__df") > max_shingle_df
     )
-    sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
+    # The capped shingle relation feeds every downstream consumer (sizes,
+    # frequency ranking, both prefix sides, the verify sets). Catalyst's
+    # ReuseExchange dedupes the identical subtrees only with AQE off; under
+    # AQE the stage cache missed them here (measured: ~8 recomputes of the
+    # explode+distinct shuffle). persist() computes it once for all
+    # consumers while keeping lineage for fault recovery.
+    sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti").persist()
     # sizes AFTER the df-cap: numerator and denominator must share the same
     # shingle universe, or capped corpora silently underestimate jaccard
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
