@@ -109,6 +109,10 @@ def main() -> None:
         fn = qs[name]
         best, n = best_of(lambda: fn(spark, sf_dir).count())
         timings[name] = round(best, 3)
+        # queries that persist() intermediates (jaccard shingles, the
+        # linking split) would otherwise accumulate storage across the
+        # suite and squeeze execution memory for later queries
+        spark.catalog.clearCache()
         if n == 0:
             print(f"# WARN {name}: 0 rows", file=sys.stderr)
 

@@ -299,13 +299,15 @@ def ngram_jaccard_pairs(
     hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
         F.col("__df") > max_shingle_df
     )
-    # The capped shingle relation feeds every downstream consumer (sizes,
-    # frequency ranking, both prefix sides, the verify sets). Catalyst's
-    # ReuseExchange dedupes the identical subtrees only with AQE off; under
-    # AQE the stage cache missed them here (measured: ~8 recomputes of the
-    # explode+distinct shuffle). persist() computes it once for all
-    # consumers while keeping lineage for fault recovery.
-    sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti").persist()
+    # The capped shingle relation feeds several consumers (sizes, frequency
+    # ranking, both prefix sides, the verify sets). Deliberately NOT
+    # persisted: an A/B at sf0.1/local[32] measured persist() consistently
+    # SLOWER (cache-write of the exploded relation exceeds recompute once
+    # the data is non-trivial; at toy sf0.01/local[8] persist won, which is
+    # exactly the trap) — and at 100 TB caching a bigger-than-input
+    # intermediate is a non-starter while shuffle-file reuse of the
+    # identical exchanges is free.
+    sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
     # sizes AFTER the df-cap: numerator and denominator must share the same
     # shingle universe, or capped corpora silently underestimate jaccard
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
