@@ -941,6 +941,83 @@ def _q_winnow_fp(spark, sf_dir):
     return winnow_fingerprints(docs, k=7, window=4)
 
 
+def _q_repetition_metrics(spark, sf_dir):
+    """Gopher/MassiveText-style repetition filters: duplicate-line fraction
+    (count- and char-weighted), duplicate word-5-gram fraction, and the
+    character share of the most frequent word 2-gram (overlapping
+    occurrences can push it above 1 — a repetition signal, not a
+    partition). Pure per-row Catalyst: sort_array + index folds, zero
+    shuffle — the map-only shape a 100 TB quality pass needs."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(T.dup_ngram_frac(t, 5), 6).alias("dup_5gram_frac"),
+        F.round(T.dup_line_frac(t), 6).alias("dup_line_frac"),
+        F.round(T.dup_line_char_frac(t), 6).alias("dup_line_char_frac"),
+        F.round(T.top_ngram_char_frac(t, 2), 6).alias("top_2gram_char_frac"),
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines
+  FROM documents
+), grams AS (
+  SELECT doc_id, text, lines,
+         CASE WHEN len(toks) >= 5
+              THEN [array_to_string(toks[i:i+4], ' ')
+                    FOR i IN generate_series(1, len(toks) - 4)]
+              ELSE [] END AS g5,
+         CASE WHEN len(toks) >= 2
+              THEN [array_to_string(toks[i:i+1], ' ')
+                    FOR i IN generate_series(1, len(toks) - 1)]
+              ELSE [] END AS g2
+  FROM base
+), linechar AS (
+  SELECT doc_id,
+         sum((cnt - 1) * len(line)) AS dup_chars,
+         sum(cnt * len(line)) AS tot_chars
+  FROM (
+    SELECT doc_id, line, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(lines) AS line FROM base)
+    GROUP BY doc_id, line
+  ) GROUP BY doc_id
+), top2 AS (
+  SELECT doc_id, cnt, glen FROM (
+    SELECT doc_id, cnt, len(gram) AS glen,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram) AS rn
+    FROM (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(g2) AS gram FROM grams)
+      GROUP BY doc_id, gram
+    )
+  ) WHERE rn = 1
+)
+SELECT b.doc_id,
+       round(CASE WHEN len(g.g5) > 0
+                  THEN 1.0 - len(list_distinct(g.g5)) * 1.0 / len(g.g5)
+                  ELSE 0.0 END, 6) AS dup_5gram_frac,
+       round(CASE WHEN len(b.lines) > 0
+                  THEN 1.0 - len(list_distinct(b.lines)) * 1.0 / len(b.lines)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN len(b.lines) <= 1 OR coalesce(lc.tot_chars, 0) <= 0
+                  THEN 0.0
+                  ELSE lc.dup_chars * 1.0 / lc.tot_chars END, 6)
+           AS dup_line_char_frac,
+       round(CASE WHEN len(g.g2) <= 0 OR len(b.text) <= 0 THEN 0.0
+                  ELSE t.cnt * t.glen * 1.0 / len(b.text) END, 6)
+           AS top_2gram_char_frac
+FROM base b
+JOIN grams g USING (doc_id)
+LEFT JOIN linechar lc USING (doc_id)
+LEFT JOIN top2 t USING (doc_id)
+"""
+
+
 def _q_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -987,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_histogram": _q_prefix_histogram,
         "snapshots_union": _q_snapshots_union,
         "winnow_fp": _q_winnow_fp,
+        "repetition_metrics": _q_repetition_metrics,
         "text_clean": _q_text_clean,
         "trix_format": _q_trix_format,
         "int_hex": _q_int_hex,
@@ -1665,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
                      '\s+', ' ', 'g')) AS clean
             FROM documents
         """,
+        "repetition_metrics": _REPETITION_ORACLE,
         "winnow_fp": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
             g0 AS (

@@ -74,6 +74,7 @@ def main() -> None:
         "sessionize",
         "star_group",
         "text_metrics",
+        "repetition_metrics",
         "predicate_split_counts",
         "nt_format",
         "quad_parse",

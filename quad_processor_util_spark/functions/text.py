@@ -177,3 +177,113 @@ def clean_text(col):
     c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
     c = F.regexp_replace(c, _IPV4_RE, "<IP>")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (the Gopher/MassiveText repetition-filter family):
+# within-document duplicate-line and duplicate-n-gram fractions, and the
+# character share of the single most frequent word 2-gram. All pure
+# per-row Catalyst (sort_array + higher-order folds over index sequences) —
+# ZERO shuffle, the map-only shape a 100 TB quality-filter pass needs.
+# ---------------------------------------------------------------------------
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def _word_ngrams_all(col: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates (repetition metrics need multiplicity;
+    contrast operators.dedup.word_shingles, which dedups)."""
+    toks = _words(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_frac(col: Column, n: int = 5) -> Column:
+    """1 - distinct/total over word n-gram occurrences (0 for <n words)."""
+    g = _word_ngrams_all(col, n)
+    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(g)) / F.size(g)
+    )
+
+
+def _nonempty_lines(col: Column) -> Column:
+    return F.filter(F.split(col, "\n"), lambda x: F.trim(x) != "")
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Fraction of non-empty lines that are repeats of an earlier line."""
+    lines = _nonempty_lines(col)
+    return F.when(F.size(lines) <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines)
+    )
+
+
+def dup_line_char_frac(col: Column) -> Column:
+    """Characters inside repeated lines (occurrences beyond the first) as a
+    fraction of all non-empty-line characters. One value-fold over the
+    SORTED lines carrying the previous element in the accumulator — never
+    index back into the array: an `element_at(sorted_expr, i)` inside a
+    lambda re-evaluates the whole sort per reference (measured: a 400s/500-
+    doc blowup on the index-fold formulation of top_ngram_char_frac)."""
+    lines = _nonempty_lines(col)
+    srt = F.array_sort(lines)
+    acc = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            (a.dup + F.when(x == a.prev, F.length(x)).otherwise(F.lit(0)))
+            .alias("dup"),
+        ),
+    )
+    total = F.aggregate(lines, F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x))
+    return F.when(F.size(lines) <= 1, F.lit(0.0)).otherwise(
+        F.when(total <= 0, F.lit(0.0)).otherwise(acc.dup / total)
+    )
+
+
+def top_ngram_char_frac(col: Column, n: int = 2) -> Column:
+    """Character share of the most frequent word n-gram: count(top) ×
+    len(top) / len(text). Ties break to the lexically smallest gram (the
+    sorted value-fold only replaces the champion on a STRICTLY longer run,
+    so the first maximum wins — same as ORDER BY count DESC, gram ASC).
+    0 when there are no n-grams or the text is empty. Single pass over the
+    sorted grams with the previous element carried in the accumulator (see
+    dup_line_char_frac for why indexing back would be quadratic)."""
+    g = _word_ngrams_all(col, n)
+    srt = F.array_sort(g)
+    best = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit("").alias("bestg"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)) > a.best,
+                F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)),
+            ).otherwise(a.best).cast("long").alias("best"),
+            F.when(
+                F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)) > a.best,
+                x,
+            ).otherwise(a.bestg).alias("bestg"),
+        ),
+    )
+    return F.when(
+        (F.size(g) <= 0) | (F.length(col) <= 0), F.lit(0.0)
+    ).otherwise(best.best * F.length(best.bestg) / F.length(col))

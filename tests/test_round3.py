@@ -68,6 +68,38 @@ def test_linking_pipeline_materializes_extraction_once(spark, monkeypatch):
     assert acc.value == 400
 
 
+def test_repetition_metrics_hand_cases(spark):
+    """Gopher-style repetition filters on constructed cases: heavy 2-gram
+    repetition, duplicate lines (count- and char-weighted), empty/degenerate
+    inputs, and the documented >1 share for overlapping occurrences."""
+    from quad_processor_util_spark.functions import text as T
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y x y x y x y x y"),
+        (2, "line one\nline two\nline one\nline one\n\n  "),
+        (3, ""),
+        (4, "one"),
+        (5, "a a a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in df.select(
+        "doc_id",
+        F.round(T.dup_ngram_frac(F.col("text"), 5), 6).alias("d5"),
+        F.round(T.dup_line_frac(F.col("text")), 6).alias("dl"),
+        F.round(T.dup_line_char_frac(F.col("text")), 6).alias("dlc"),
+        F.round(T.top_ngram_char_frac(F.col("text"), 2), 6).alias("t2"),
+    ).orderBy("doc_id").collect()]
+    assert got == [
+        (0, 0.0, 0.0, 0.0, 0.157895),
+        (1, 0.666667, 0.0, 0.0, 0.789474),   # "x y"×5 → 15/19 chars
+        (2, 0.0, 0.5, 0.5, 0.615385),        # "line one"×3 of 4 lines
+        (3, 0.0, 0.0, 0.0, 0.0),
+        (4, 0.0, 0.0, 0.0, 0.0),
+        (5, 0.5, 0.0, 0.0, 1.363636),        # overlap pushes share > 1
+    ]
+
+
 def test_resume_touches_only_missing_buckets(spark, monkeypatch, tmp_path):
     acc = _counting_extract(spark, monkeypatch)
     tr = _transcripts(spark, n=400)
