@@ -1018,6 +1018,37 @@ LEFT JOIN top2 t USING (doc_id)
 """
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """Token-window document chunking (context-window prep): 64-token
+    windows with 16-token overlap, closed-form chunk count, pure Catalyst
+    posexplode — map-side row expansion, zero shuffle."""
+    from quad_processor_util_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=64, overlap=16)
+
+
+_CHUNK_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+), nn AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              WHEN len(toks) <= 64 THEN 1
+              ELSE CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1 END AS n_chunks
+  FROM base
+)
+SELECT doc_id,
+       k AS chunk_idx,
+       len(toks[k * 48 + 1 : k * 48 + 64]) AS n_chunk_tokens,
+       array_to_string(toks[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
+FROM nn, unnest(generate_series(0, n_chunks - 1)) AS t(k)
+WHERE n > 0
+"""
+
+
 def _q_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1065,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshots_union": _q_snapshots_union,
         "winnow_fp": _q_winnow_fp,
         "repetition_metrics": _q_repetition_metrics,
+        "chunk_docs": _q_chunk_docs,
         "text_clean": _q_text_clean,
         "trix_format": _q_trix_format,
         "int_hex": _q_int_hex,
@@ -1744,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "repetition_metrics": _REPETITION_ORACLE,
+        "chunk_docs": _CHUNK_ORACLE,
         "winnow_fp": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
             g0 AS (

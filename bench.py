@@ -75,6 +75,7 @@ def main() -> None:
         "star_group",
         "text_metrics",
         "repetition_metrics",
+        "chunk_docs",
         "predicate_split_counts",
         "nt_format",
         "quad_parse",

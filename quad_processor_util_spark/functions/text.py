@@ -287,3 +287,46 @@ def top_ngram_char_frac(col: Column, n: int = 2) -> Column:
     return F.when(
         (F.size(g) <= 0) | (F.length(col) <= 0), F.lit(0.0)
     ).otherwise(best.best * F.length(best.bestg) / F.length(col))
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking — context-window prep for LLM training pipelines:
+# split each document into ~max_tokens-token windows with fixed overlap.
+# Closed-form chunk count (no trailing chunk fully contained in the prior
+# one), pure Catalyst posexplode — the narrow map-side expansion shape.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
+                    max_tokens: int = 64, overlap: int = 16):
+    """-> (id, chunk_idx, n_chunk_tokens, chunk_text) with chunk_text the
+    space-joined token window (whitespace-normalized by construction —
+    training prep, not byte-faithful splitting). Chunks start every
+    (max_tokens - overlap) tokens; a document with <= max_tokens tokens
+    yields exactly one chunk; zero tokens yields zero rows."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    step = max_tokens - overlap
+    toks = _words(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - max_tokens) / F.lit(step)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.alias("chunk_idx"),
+            F.slice(toks, k * step + 1, max_tokens).alias("__w"),
+        ),
+    )
+    out = (
+        df.where(n > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.size("__c.__w").alias("n_chunk_tokens"),
+            F.array_join("__c.__w", " ").alias("chunk_text"),
+        )
+    )
+    return out

@@ -100,6 +100,34 @@ def test_repetition_metrics_hand_cases(spark):
     ]
 
 
+def test_chunk_documents_boundaries(spark):
+    """Chunk-count closed form at the window boundaries: <=max yields one
+    chunk; the first token past each stride adds exactly one; no trailing
+    chunk is fully contained in its predecessor; zero tokens yields zero
+    rows; overlap tokens are shared between neighbors."""
+    from quad_processor_util_spark.functions.text import chunk_documents
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(n, doc(n)) for n in (0, 1, 64, 65, 112, 113, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=64, overlap=16)
+    counts = {r["doc_id"]: r["n"] for r in
+              out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 1, 64: 1, 65: 2, 112: 2, 113: 3, 200: 4}
+    chunks = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # overlap: chunk 1 of the 65-token doc starts at token 48 (0-based)
+    c = chunks[(65, 1)]
+    assert c["chunk_text"].split()[0] == "w48"
+    assert c["n_chunk_tokens"] == 17  # tokens 48..64
+    # full interior chunk
+    assert chunks[(200, 1)]["n_chunk_tokens"] == 64
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=16, overlap=16)
+
+
 def test_resume_touches_only_missing_buckets(spark, monkeypatch, tmp_path):
     acc = _counting_extract(spark, monkeypatch)
     tr = _transcripts(spark, n=400)
