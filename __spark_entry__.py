@@ -277,6 +277,85 @@ def _q_minhash_dedup(spark, sf_dir):
                          hash_kind="md5", bucket_kind="concat").select("doc_id")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Cluster-form near-dup labeling: every doc gets the min doc id of its
+    connected component over VERIFIED minhash-LSH pairs (transitive
+    closure — the semantics large dedup pipelines keep, stronger than
+    pair-loser dropping). md5/concat gate variant so DuckDB replays the
+    signatures; closure replayed with a recursive CTE."""
+    from quad_processor_util_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, num_hashes=36, bands=6, threshold=0.7,
+                          hash_kind="md5", bucket_kind="concat")
+
+
+def _dedup_clusters_oracle_sql(num_hashes: int = 36, bands: int = 6,
+                               threshold: float = 0.7, seed: int = 42) -> str:
+    """DuckDB replay of dedup_clusters: same signatures/banding/verify as
+    the minhash oracle but WITHOUT the rep collapse (matching the gate
+    variant), then connected components as a recursive reachability CTE
+    with cluster id = least(own id, min reachable id)."""
+    from quad_processor_util_spark.operators.dedup import _perm_coeffs
+
+    coeffs = _perm_coeffs(num_hashes, seed)
+    mh_aggs = ",\n         ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    banded = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bucket FROM sig"
+        .format(b=b, cols=", ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE grams AS ({_GRAMS_SQL}),
+h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(sh), 1, 15))::BIGINT % {_MERSENNE}) AS h
+  FROM (SELECT doc_id, unnest(g) AS sh FROM grams)
+),
+sig AS (
+  SELECT doc_id,
+         {mh_aggs}
+  FROM h GROUP BY doc_id
+),
+banded AS (
+{banded}
+),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT id_a, id_b
+  FROM cands
+  JOIN grams ga ON ga.doc_id = id_a
+  JOIN grams gb ON gb.doc_id = id_b
+  WHERE len(list_intersect(ga.g, gb.g)) * 1.0
+        / len(list_distinct(ga.g || gb.g)) >= {threshold}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ver
+),
+reach(node, r) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(reach.r), d.doc_id)) AS cluster_id
+FROM documents d
+LEFT JOIN reach ON reach.node = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def _q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return simhash_signatures(docs, bits=60, hash_kind="md5").select(
@@ -1104,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seeded-hash ops — gate variants use portable (md5 / inlined-
         # hyperplane) hashing so DuckDB can replay them exactly
         "minhash_dedup": _q_minhash_dedup,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1600,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
         # md5-derived base hashes / concat band buckets / inlined seeded
         # hyperplanes, all computable on both engines
         "minhash_dedup": _minhash_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
         # IVF with the gate's FIXED seeded centroids (data-fit k-means stays

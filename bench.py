@@ -49,8 +49,17 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
         return _sh(docs).select("doc_id", "simhash")
 
+    from quad_processor_util_spark.operators.dedup import (
+        dedup_clusters as _dc,
+    )
+
+    def _bench_dedup_clusters(spark, sf):
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return _dc(docs, num_hashes=36, bands=6, threshold=0.7)
+
     qs["minhash_dedup"] = _bench_minhash
     qs["simhash"] = _bench_simhash
+    qs["dedup_clusters"] = _bench_dedup_clusters
 
     bench_names = [
         "extract_kg",
@@ -65,6 +74,7 @@ def main() -> None:
         "stable_turn_order",
         "dedup_exact",
         "minhash_dedup",
+        "dedup_clusters",
         "simhash",
         "jaccard_pairs",
         "cosine_topk",

@@ -507,3 +507,51 @@ def simhash_candidates(
         .distinct()
     )
     return pairs
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 36,
+    bands: int = 6,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    hash_kind: str = "xxhash64",
+    bucket_kind: str = "xxhash64",
+) -> DataFrame:
+    """-> (id_col, cluster_id): every document labeled with its near-dup
+    CLUSTER (min doc id of its connected component over verified pairs).
+
+    Transitive-closure semantics — a chain a~b~c clusters {a,b,c} even when
+    (a,c) was never a verified pair — the form large dedup pipelines keep
+    (one representative per cluster, or cluster-weighted sampling), stronger
+    than minhash_dedup's pair-loser drop. Pairs come from LSH banding
+    verified by exact jaccard; components via connected_components over
+    zero-padded id strings (fixed width ⇒ lexicographic min == numeric min;
+    ids must be non-negative). Documents in no pair are their own cluster.
+    At 100 TB, run the signature-group collapse (see minhash_dedup) before
+    banding and expand cluster ids back through the groups; the gate
+    variant skips the collapse so the SQL oracle replays 1:1."""
+    from .cc import connected_components
+
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              seed, hash_kind)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, bucket_kind)
+    pairs = ngram_jaccard_pairs_from_candidates(df, cands, text_col, id_col,
+                                                shingle_n, threshold)
+    fmt = "d%012d"
+    edges = pairs.select(
+        F.format_string(fmt, F.col("id_a")).alias("src_iri"),
+        F.format_string(fmt, F.col("id_b")).alias("dst_iri"),
+    )
+    comp = connected_components(edges).select(
+        F.substring("node", 2, 12).cast("long").alias(id_col),
+        F.substring("canonical", 2, 12).cast("long").alias("cluster_id"),
+    )
+    return (
+        df.select(id_col).join(comp, id_col, "left")
+        .select(id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )

@@ -128,6 +128,28 @@ def test_chunk_documents_boundaries(spark):
         chunk_documents(df, max_tokens=16, overlap=16)
 
 
+def test_dedup_clusters_transitive_closure(spark):
+    """The cluster semantics pair-loser dropping cannot express: docs 1 and
+    2 are each near-dups of hub doc 3 (J = 0.8) but NOT of each other
+    (J = 0.6 < 0.7) — the component {1,2,3} still clusters together via the
+    chain. Isolated docs are their own cluster. bands=36 (one row per band)
+    makes LSH candidate recall effectively certain for this construction."""
+    from quad_processor_util_spark.operators.dedup import dedup_clusters
+
+    w = [f"w{i}" for i in range(1, 101)]
+    rows = [
+        (1, " ".join(w[:80])),       # J(1,3)=0.8, J(1,2)=0.6
+        (2, " ".join(w[20:])),       # J(2,3)=0.8
+        (3, " ".join(w)),            # hub
+        (4, " ".join(f"z{i}" for i in range(50))),  # isolated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_clusters(docs, num_hashes=36, bands=36, shingle_n=1,
+                         threshold=0.7)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
 def test_resume_touches_only_missing_buckets(spark, monkeypatch, tmp_path):
     acc = _counting_extract(spark, monkeypatch)
     tr = _transcripts(spark, n=400)
