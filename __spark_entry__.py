@@ -993,6 +993,44 @@ def _q_int_hex(spark, sf_dir):
     )
 
 
+def _q_rdf_json(spark, sf_dir):
+    """RDF/JSON serialization gate (X15, formatters/RDFJSONBuilder.scala:
+    8-104): object kind dispatched to uri / literal(+lang/+datatype),
+    xsd:string omitted, null fields dropped by to_json. The events-derived
+    quads are JSON-escape-free by construction, so the oracle can state the
+    exact serialized text by string concatenation — field order and
+    compactness must match Jackson's byte-for-byte."""
+    from quad_processor_util_spark.functions.nt import format_rdf_json
+
+    return format_rdf_json(_events_quads(spark, sf_dir))
+
+
+def _q_prefixed_name(spark, sf_dir):
+    """Namespace-registry gate (X17, utils/RdfNamespace.scala:45-56,138-141
+    + the DumpSplitter dataset naming, scripts/DumpSplitter.scala:49-57):
+    IRIs from the registered namespaces (and one unregistered) mapped to
+    `prefix-localName` via the longest-namespace-wins Catalyst chain, plus
+    full_uri expansion replayed on the driver constants."""
+    from quad_processor_util_spark.functions.uri import local_name, prefixed_name
+
+    ev = _t(spark, sf_dir, "events")
+    iri = (
+        F.when(F.col("event_id") % 4 == 0,
+               F.concat(F.lit("http://example.org/ontology/"), F.col("event_type")))
+        .when(F.col("event_id") % 4 == 1,
+              F.concat(F.lit("http://www.w3.org/2000/01/rdf-schema#"), F.col("event_type")))
+        .when(F.col("event_id") % 4 == 2,
+              F.concat(F.lit("http://dbpedia.org/resource/E"), F.col("event_id")))
+        .otherwise(F.concat(F.lit("http://unregistered.example/x/"), F.col("event_type")))
+    )
+    return ev.select(
+        "event_id",
+        iri.alias("iri"),
+        prefixed_name(iri).alias("pref"),
+        local_name(iri).alias("local"),
+    )
+
+
 def _q_trix_format(spark, sf_dir):
     """TriX serialization (TriXBuilder.scala:28-60 semantics incl. the
     literal 'BAD URI: null' context for graph-less quads in quads mode and
@@ -1178,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "text_clean": _q_text_clean,
         "trix_format": _q_trix_format,
+        "rdf_json": _q_rdf_json,
+        "prefixed_name": _q_prefixed_name,
         "int_hex": _q_int_hex,
         "embedding_neardup": _q_embedding_neardup,
         # seeded-hash ops — gate variants use portable (md5 / inlined-
@@ -1840,6 +1880,34 @@ def oracle_sql() -> dict[str, str]:
                    || '</typedLiteral>' || chr(10)
                    || '    </triple>' || chr(10)
                    || '  </graph>' || chr(10) AS trix
+            FROM events
+        """,
+        # field order and compactness must match Jackson's to_json output
+        # byte-for-byte; lang/datatype are null here and dropped, xsd:string
+        # is omitted by the formatter's dispatch
+        "rdf_json": """
+            SELECT '{"subject":"http://example.org/user/' || user_id
+                   || '","predicate":"http://example.org/ontology/' || event_type
+                   || '","object":{"value":"' || event_id
+                   || '","type":"literal"}}' AS json
+            FROM events
+        """,
+        "prefixed_name": """
+            SELECT event_id,
+                   CASE WHEN event_id % 4 = 0
+                        THEN 'http://example.org/ontology/' || event_type
+                        WHEN event_id % 4 = 1
+                        THEN 'http://www.w3.org/2000/01/rdf-schema#' || event_type
+                        WHEN event_id % 4 = 2
+                        THEN 'http://dbpedia.org/resource/E' || event_id
+                        ELSE 'http://unregistered.example/x/' || event_type
+                   END AS iri,
+                   CASE WHEN event_id % 4 = 0 THEN 'ex-' || event_type
+                        WHEN event_id % 4 = 1 THEN 'rdfs-' || event_type
+                        WHEN event_id % 4 = 2 THEN 'dbr-E' || event_id
+                        ELSE event_type END AS pref,
+                   CASE WHEN event_id % 4 = 2 THEN 'E' || CAST(event_id AS VARCHAR)
+                        ELSE event_type END AS local
             FROM events
         """,
         "text_clean": r"""
