@@ -943,6 +943,54 @@ def _q_prefix_histogram(spark, sf_dir):
     return prefix_histogram(docs, "text", prefix_len=2)
 
 
+def _q_group_runs(spark, sf_dir):
+    """Run-boundary group traversal gate (S2, QuadReader.readSortedQuads,
+    QuadReader.scala:44-62): repartition-by-key + in-partition secondary
+    sort + mapInPandas with carry-over of split tails between Arrow batches
+    (operators/grouping.run_boundary_groups) — grouping without groupBy.
+    Per-user ordered event-type concatenation proves whole-group delivery
+    AND intra-group order survive batch boundaries."""
+    import pandas as pd
+
+    from quad_processor_util_spark.operators.grouping import run_boundary_groups
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+
+    def agg_group(grp: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [grp["user_id"].iloc[0]],
+            "n_events": [len(grp)],
+            "types_csv": [",".join(grp["event_type"])],
+        })
+
+    return run_boundary_groups(
+        ev, "user_id", agg_group,
+        "user_id long, n_events long, types_csv string",
+        order="event_id",
+    )
+
+
+def _q_sorted_check(spark, sf_dir):
+    """Sortedness-violation survey (O5, the QuadSorterTest invariant,
+    QuadSorterTest.scala:36-54): per-user count of adjacent event pairs
+    (ordered by event_id) whose timestamps go backwards — the lag-window
+    monotonicity check the sorted-write path relies on, summarized as a
+    distribution so the result is data-dependent, not trivially zero."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flags = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .where(F.col("__prev").isNotNull() & (F.col("__prev") > F.col("ts")))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    return (
+        _t(spark, sf_dir, "events").select("user_id").distinct()
+        .join(flags, "user_id", "left")
+        .select("user_id",
+                F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
+    )
+
+
 def _q_snapshots_union(spark, sf_dir):
     """Multi-snapshot union scan (QuadReader.scala:92-156 analog): the same
     table read as two snapshots, grouped downstream (merge order is an
@@ -1211,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codepoint_order": _q_codepoint_order,
         "prefix_histogram": _q_prefix_histogram,
         "snapshots_union": _q_snapshots_union,
+        "group_runs": _q_group_runs,
+        "sorted_check": _q_sorted_check,
         "winnow_fp": _q_winnow_fp,
         "repetition_metrics": _q_repetition_metrics,
         "chunk_docs": _q_chunk_docs,
@@ -1961,6 +2011,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
             GROUP BY event_id
+        """,
+        "group_runs": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, ',' ORDER BY event_id) AS types_csv
+            FROM events GROUP BY user_id
+        """,
+        "sorted_check": """
+            WITH f AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY event_id) > ts
+                          THEN 1 ELSE 0 END AS v
+              FROM events
+            )
+            SELECT user_id, CAST(sum(v) AS BIGINT) AS n_violations
+            FROM f GROUP BY user_id
         """,
         "camelcase_mint": """
             WITH w AS (
