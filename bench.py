@@ -114,6 +114,12 @@ def main() -> None:
             t0 = time.time()
             n = action()
             runs.append(time.time() - t0)
+            # queries that persist() intermediates (the linking split) would
+            # otherwise serve rerun N+1 from the CacheManager — Spark
+            # substitutes structurally identical plans with the populated
+            # InMemoryRelation, and min(runs) would time a cache read, not
+            # the pipeline
+            spark.catalog.clearCache()
         return min(runs), n
 
     timings: dict[str, float] = {}
@@ -121,10 +127,6 @@ def main() -> None:
         fn = qs[name]
         best, n = best_of(lambda: fn(spark, sf_dir).count())
         timings[name] = round(best, 3)
-        # queries that persist() intermediates (jaccard shingles, the
-        # linking split) would otherwise accumulate storage across the
-        # suite and squeeze execution memory for later queries
-        spark.catalog.clearCache()
         if n == 0:
             print(f"# WARN {name}: 0 rows", file=sys.stderr)
 

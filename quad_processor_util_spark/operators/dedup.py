@@ -76,26 +76,32 @@ def _size_bytes(raw: str) -> int:
 def _estimated_scan_partitions(df: DataFrame) -> int:
     """Estimate the scan split count from file metadata only — no RDD is
     built (df.rdd on a hot constructor materializes the lineage driver-side
-    per call). inputFiles() is a plan walk; sizes come from the filesystem
-    for local files. Non-file sources (in-memory views, remote FS) return a
-    floor of their file count (0 for views → treated as too-coarse)."""
+    per call). Mirrors Spark's FilePartition packing: each file costs
+    max(size, openCostInBytes) and files are bin-packed into
+    maxPartitionBytes splits — so 150 tiny files estimate as a handful of
+    packed partitions (as Spark actually scans them), not 150.
+    Non-file sources (in-memory views, remote FS) return a floor of their
+    file count (0 for views → treated as too-coarse; the repartition they
+    then pay moves only the two projected columns)."""
     import math
     import os
 
     files = df.inputFiles()
     if not files:
         return 0
-    raw = df.sparkSession.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728b")
-    mpb = max(1, _size_bytes(raw))
-    splits = 0
+    conf = df.sparkSession.conf
+    mpb = max(1, _size_bytes(conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b")))
+    open_cost = _size_bytes(conf.get(
+        "spark.sql.files.openCostInBytes", "4194304b"))
+    total_cost = 0
     for p in files:
         local = p[len("file:"):] if p.startswith("file:") else p
         try:
-            splits += max(1, math.ceil(os.path.getsize(local) / mpb))
+            total_cost += max(os.path.getsize(local), open_cost)
         except OSError:
             return len(files)
-    return splits
+    return max(1, math.ceil(total_cost / mpb))
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -541,14 +547,27 @@ def dedup_clusters(
     cands = minhash_lsh_candidates(sigs, id_col, bands, bucket_kind)
     pairs = ngram_jaccard_pairs_from_candidates(df, cands, text_col, id_col,
                                                 shingle_n, threshold)
-    fmt = "d%012d"
+    # connected_components consumes its edges MORE than once (size probe +
+    # driver collect on the fast path; per-round joins on the distributed
+    # path) — cut the expensive signature/LSH/verify lineage so it executes
+    # exactly once. localCheckpoint (not persist): the per-call RDD is
+    # reaped by ContextCleaner, no CacheManager entry outlives the call.
+    pairs = pairs.localCheckpoint(eager=False)
+    # width 19 covers every non-negative int64, so lexicographic min over
+    # the fixed-width strings == numeric min; negative ids would break the
+    # width invariant silently — fail loudly per row instead
+    fmt = "d%019d"
+    guarded = lambda c: F.when(  # noqa: E731
+        c >= 0, F.format_string(fmt, c)
+    ).otherwise(F.raise_error(F.lit(
+        "dedup_clusters: negative doc ids are unsupported")))
     edges = pairs.select(
-        F.format_string(fmt, F.col("id_a")).alias("src_iri"),
-        F.format_string(fmt, F.col("id_b")).alias("dst_iri"),
+        guarded(F.col("id_a")).alias("src_iri"),
+        guarded(F.col("id_b")).alias("dst_iri"),
     )
     comp = connected_components(edges).select(
-        F.substring("node", 2, 12).cast("long").alias(id_col),
-        F.substring("canonical", 2, 12).cast("long").alias("cluster_id"),
+        F.substring("node", 2, 19).cast("long").alias(id_col),
+        F.substring("canonical", 2, 19).cast("long").alias("cluster_id"),
     )
     return (
         df.select(id_col).join(comp, id_col, "left")

@@ -225,8 +225,12 @@ def link_unknown_mentions(
     # tests/test_round3.py). persist beats localCheckpoint here: lineage is
     # retained (an executor loss at 100 TB recomputes the lost partitions
     # instead of failing the job) and the columnar InMemoryRelation serves
-    # the three different branch filters with batch-level pruning. The cache
-    # is released by Spark's ContextCleaner when the plan is GC'd.
+    # the three different branch filters with batch-level pruning.
+    # LIFECYCLE: CacheManager holds SQL cache entries until an explicit
+    # unpersist/clearCache (ContextCleaner does NOT reap them) — a driver
+    # that composes many pipelines in one session must
+    # spark.catalog.clearCache() between them, as bench.py and
+    # tools/check_correctness.py do.
     quads = quads.persist()
     placeholders = quads.where(F.col("predicate") == surf_pred)
     rest = quads.where(F.col("predicate") != surf_pred)

@@ -52,6 +52,11 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
     qs = entrymod.queries()
     if only:
+        unknown = set(only) - qs.keys()
+        if unknown:
+            # a typo'd filter must not report success having checked nothing
+            print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+            return 1
         qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = 0
@@ -61,6 +66,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            # persist()-ing queries (the linking split) must not leak
+            # CacheManager entries across the ~50-gate session, nor serve a
+            # later structurally-identical plan from cache
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
