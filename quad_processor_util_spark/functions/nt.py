@@ -145,10 +145,15 @@ def parse_nt_lines(lines_df: DataFrame, line_col: str = "line") -> DataFrame:
 
 _URI = r"<([^>]*)>"
 _LIT = r'"((?:[^"\\]|\\.)*)"'
+# separators are [ \t]* to match the oracle scanner EXACTLY: skip_ws skips
+# only space/tab (so '\f' separators are malformed on both paths) and
+# allows ZERO whitespace between terms ('<s><p><o>.' parses on both);
+# @lang / ^^dt attach tight to the closing quote, as the scanner requires
+_WS = r"[ \t]*"
 _TRIPLE_RE = (
-    r"^\s*" + _URI + r"\s+" + _URI + r"\s+"
+    r"^" + _WS + _URI + _WS + _URI + _WS +
     r"(?:" + _URI + r"|" + _LIT + r"(?:@([a-z][a-z0-9-]*)|\^\^" + _URI + r")?)"
-    r"(?:\s+" + _URI + r")?\s*\.\s*$"
+    r"(?:" + _WS + _URI + r")?" + _WS + r"\." + _WS + r"$"
 )
 
 
@@ -191,14 +196,14 @@ def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
     # '"..."^^<' marks a typed literal; a further '<' before the final dot
     # marks a graph. These match the exact-path (oracle) classification for
     # degenerate empty URIs.
-    _pfx = r"^\s*<[^>]*>\s+<[^>]*>\s+"
+    _pfx = r"^[ \t]*<[^>]*>[ \t]*<[^>]*>[ \t]*"
     _litp = _pfx + r'"(?:[^"\\]|\\.)*"'
     is_uri_obj = c.rlike(_pfx + "<")
     has_dtype = c.rlike(_litp + r"\^\^<")
     has_graph = F.when(
-        is_uri_obj, c.rlike(_pfx + r"<[^>]*>\s+<")
+        is_uri_obj, c.rlike(_pfx + r"<[^>]*>[ \t]*<")
     ).otherwise(
-        c.rlike(_litp + r"(?:@[a-z][a-z0-9-]*|\^\^<[^>]*>)?\s+<")
+        c.rlike(_litp + r"(?:@[a-z][a-z0-9-]*|\^\^<[^>]*>)?[ \t]*<")
     )
     out = (
         lines_df.where(matched)
@@ -224,15 +229,27 @@ def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
 # ---------------------------------------------------------------------------
 
 
+# control chars the turtle escape must \\uXXXX (everything < 0x20 except
+# \n \r \t, which have short escapes)
+_CTRL_CODEPOINTS = [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20)]
+_CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
 def _escape_expr(col: Column) -> Column:
-    """Turtle-mode literal escape with built-ins: \\ " \n \r \t
-    (ref: TurtleUtils.scala:100-140, turtle branch keeps non-ASCII raw)."""
+    """Turtle-mode literal escape with built-ins: \\ " \n \r \t, and
+    \\uXXXX for the remaining control chars — matching oracle.nt_escape's
+    turtle branch exactly (TurtleUtils.scala:100-140; non-ASCII kept raw).
+    The 26-replace control chain only runs on rows that actually contain a
+    control char (rlike-guarded branch) — clean literals pay 5 replaces."""
     c = F.regexp_replace(col, r"\\", r"\\\\")
     c = F.regexp_replace(c, '"', '\\\\"')
     c = F.regexp_replace(c, "\n", "\\\\n")
     c = F.regexp_replace(c, "\r", "\\\\r")
     c = F.regexp_replace(c, "\t", "\\\\t")
-    return c
+    ctrl = c
+    for cp in _CTRL_CODEPOINTS:
+        ctrl = F.regexp_replace(ctrl, "\\x%02X" % cp, "\\\\u%04X" % cp)
+    return F.when(col.rlike(_CTRL_CLASS), ctrl).otherwise(c)
 
 
 def format_nt_expr(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
@@ -243,7 +260,9 @@ def format_nt_expr(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
     (TerseBuilder.scala:44-48). Bad URIs comment the line out with `# `
     (TerseBuilder.scala:23). Graph appended only in quads mode (:51-60).
     """
-    uri_ok = lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://\S+$")  # noqa: E731
+    # [^\s<>] matches oracle.is_absolute_uri exactly: a URI containing
+    # '<'/'>' is BAD (would corrupt the line syntax) and must comment out
+    uri_ok = lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^\s<>]+$")  # noqa: E731
     s, p, o, dt, lang, gr = (F.col(x) for x in
                              ["subject", "predicate", "obj", "datatype", "language", "graph"])
     obj_part = (
@@ -418,7 +437,9 @@ def format_trix(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
     TerseBuilder-specific). Simplification: URI validity uses the same
     absolute-URI guard as the N-Triples path instead of java.net.URI's
     parser (whose exact error strings are JVM-internal)."""
-    uri_ok = lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://\S+$")  # noqa: E731
+    # [^\s<>] matches oracle.is_absolute_uri exactly: a URI containing
+    # '<'/'>' is BAD (would corrupt the line syntax) and must comment out
+    uri_ok = lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^\s<>]+$")  # noqa: E731
 
     def uri_el(col: Column, indent: str) -> Column:
         val = (

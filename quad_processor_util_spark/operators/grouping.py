@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -92,11 +92,14 @@ def run_boundary_groups(
     return sorted_group_scan(df, key, order).mapInPandas(_runs, schema)
 
 
-def star_view(quads: DataFrame, label_overflow: int = 1) -> DataFrame:
+def star_view(quads: DataFrame) -> DataFrame:
     """Per-subject entity document (the solr-loader aggregation,
-    SolrLoader.scala:137-174): first label (deterministic min) + remaining
-    labels as altLabels, collect_set of types / sameAs / subjects — one
-    shuffle, partial aggregation map-side."""
+    SolrLoader.scala:137-174): first label (deterministic min) + ALL
+    remaining labels as altLabels (lossless by construction — the former
+    label_overflow parameter silently dropped labels for any value but 1,
+    round-3 review finding), collect_set of types / sameAs / subjects —
+    one shuffle, partial aggregation map-side."""
+    label_overflow = 1  # exactly the primary label is excluded from altLabels
     p = F.col("predicate")
     is_label = p.endswith("label") | p.endswith("Label")
     is_type = p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -119,12 +122,33 @@ def star_view(quads: DataFrame, label_overflow: int = 1) -> DataFrame:
 
 
 def assert_sorted(df: DataFrame, key: str, order: str) -> int:
-    """Sortedness-violation count within key groups (the QuadSorterTest
-    invariant, QuadSorterTest.scala:36-54) via a lag window. Returns the
-    number of out-of-order adjacent pairs (0 = sorted)."""
-    w = Window.partitionBy(key).orderBy(order)
-    return (
-        df.withColumn("__prev", F.lag(order).over(w))
-        .where(F.col("__prev").isNotNull() & (F.col("__prev") > F.col(order)))
-        .count()
-    )
+    """PHYSICAL sortedness-violation count (the QuadSorterTest invariant,
+    QuadSorterTest.scala:36-54): adjacent rows within each partition, in
+    scan order, must be non-decreasing on (key, order). Counts the pairs
+    that are not. Nulls sort first (Spark's asc default). The previous
+    window-based formulation ordered BY the checked column before lagging
+    and was therefore vacuously 0 on any input (round-3 review finding);
+    mapInPandas sees the rows as the partition actually delivers them.
+    Cross-partition boundaries are is_globally_sorted's job
+    (operators/sort.py)."""
+    import pandas as pd
+
+    def _t(v):
+        # null-first total order without ever comparing None: shorter tuple
+        # sorts before longer
+        return (0,) if v is None or (isinstance(v, float) and pd.isna(v)) \
+            else (1, v)
+
+    def _viol(batches):
+        prev = None
+        n = 0
+        for pdf in batches:
+            for k, o in zip(pdf[key], pdf[order]):
+                cur = (_t(k), _t(o))
+                if prev is not None and cur < prev:
+                    n += 1
+                prev = cur
+        yield pd.DataFrame({"n": [n]})
+
+    res = df.select(key, order).mapInPandas(_viol, "n long").collect()
+    return sum(r.n for r in res)

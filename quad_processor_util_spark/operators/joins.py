@@ -31,10 +31,15 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join on `key`.
 
-    fact rows get salt = pmod(hash(monotonic row attrs), K) — actually a
-    uniform random-ish salt derived from xxhash64 of all columns, so a single
-    hot key spreads over K reducer partitions; the dim side is exploded ×K.
-    Result is identical to a plain join (verified by oracle tests).
+    fact rows get salt = pmod(xxhash64(monotonically_increasing_id), K) —
+    per-ROW, not per-content: hashing the column values would give every
+    exact-duplicate row of a hot key the same salt and re-concentrate the
+    skew (duplicate-heavy corpora are exactly where salting matters;
+    round-3 review finding). Any salt value is correct for a fact row (the
+    dim side is exploded ×K), so the id's nondeterminism under task retry
+    cannot change the join result. A single hot key thus spreads over K
+    reducer partitions. Result is identical to a plain join (verified by
+    oracle tests).
 
     Only fact-preserving join types are allowed: the dim side is exploded
     ×K, so right/full outer joins would emit K copies of every unmatched
@@ -49,7 +54,8 @@ def salted_join(
             f"would duplicate unmatched dim rows; use one of {sorted(allowed)}"
         )
     fact_s = fact.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
     )
     dim_s = dim.withColumn(
         salt_col, F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))

@@ -61,22 +61,33 @@ def is_globally_sorted(df: DataFrame, col: str) -> bool:
     monotone AND partition max <= next partition min."""
     import pandas as pd
 
+    # null-first total order without ever comparing None to a value: the
+    # shorter tuple sorts before any (1, v) — a null column value crashed
+    # the raw `v < prev` comparison (round-3 review finding)
+    def _key(v):
+        return (0,) if v is None or (isinstance(v, float) and pd.isna(v)) \
+            else (1, v)
+
     def _minmax(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        lo = hi = None
+        first = last = None
+        seen = False
         ok = True
         prev = None
         for pdf in batches:
             for v in pdf[col]:
-                if prev is not None and v < prev:
+                kv = _key(v)
+                if prev is not None and kv < prev:
                     ok = False
-                prev = v
-                if lo is None:
-                    lo = v
-                hi = v
-        yield pd.DataFrame({"pid": [pid], "lo": [lo], "hi": [hi], "ok": [ok]})
+                prev = kv
+                if not seen:
+                    first = v
+                    seen = True
+                last = v
+        yield pd.DataFrame({"pid": [pid], "seen": [seen], "lo": [first],
+                            "hi": [last], "ok": [ok]})
 
     # per-partition (pid, min, max, monotone?) via mapInPandas, which
     # preserves the input partitioning; partitions are compared in EXPLICIT
@@ -85,13 +96,18 @@ def is_globally_sorted(df: DataFrame, col: str) -> bool:
     # lexicographically ('9' > '10')
     dtype = df.schema[col].dataType.simpleString()
     res = df.select(col).mapInPandas(
-        _minmax, f"pid int, lo {dtype}, hi {dtype}, ok boolean"
+        _minmax, f"pid int, seen boolean, lo {dtype}, hi {dtype}, ok boolean"
     ).collect()
-    res = sorted((r for r in res if r.lo is not None), key=lambda r: r.pid)
+    res = sorted((r for r in res if r.seen), key=lambda r: r.pid)
     if not all(r.ok for r in res):
         return False
+
+    def _key(v):
+        return (0,) if v is None else (1, v)
+
     # range partitioning puts partition i's keys before partition i+1's
+    # (nulls-first ordering at the boundary too)
     for a, b in zip(res, res[1:]):
-        if a.hi > b.lo:
+        if _key(a.hi) > _key(b.lo):
             return False
     return True

@@ -92,7 +92,6 @@ def percent_decode_lenient(s: str) -> str:
     """Decode %XX UTF-8 sequences; malformed sequences pass through verbatim;
     '+' is NOT treated as space (ref: UriDecoder.java:41-102)."""
     out = bytearray()
-    i, n = 0, len(s)
     raw = s.encode("utf-8")
     i = 0
     n = len(raw)

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.pipeline import extract_quads
 from ..sources.io import TRANSCRIPTS_SCHEMA
 
 

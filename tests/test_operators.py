@@ -154,4 +154,11 @@ class TestGrouping:
 
     def test_assert_sorted(self, spark, fixtures_dir):
         tr = spark.read.parquet(f"{fixtures_dir}/transcripts.parquet")
-        assert assert_sorted(tr, "conv_id", "turn_idx") == 0
+        # the fixture is emitted in SHUFFLED order by design (datagen) —
+        # the physical check must SEE that (the old window-based
+        # assert_sorted returned 0 on any input and asserted 0 here)
+        assert assert_sorted(tr.coalesce(1), "conv_id", "turn_idx") > 0
+        assert assert_sorted(
+            sorted_group_scan(tr, "conv_id", "turn_idx"),
+            "conv_id", "turn_idx",
+        ) == 0

@@ -150,6 +150,94 @@ def test_dedup_clusters_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+class TestReviewFixes:
+    """Regression tests for the round-3 deep-review findings."""
+
+    def test_assert_sorted_detects_violations(self, spark):
+        from quad_processor_util_spark.operators.grouping import (
+            assert_sorted, sorted_group_scan,
+        )
+
+        rows = [("k%d" % (i % 5), (i * 37) % 100) for i in range(200)]
+        df = spark.createDataFrame(rows, "k string, v int")
+        # one partition of unsorted rows MUST show violations (the old
+        # window formulation returned 0 on any input)
+        assert assert_sorted(df.coalesce(1), "k", "v") > 0
+        assert assert_sorted(sorted_group_scan(df, "k", "v"), "k", "v") == 0
+
+    def test_parse_paths_agree_on_whitespace_edges(self, spark):
+        import pandas as pd
+
+        from quad_processor_util_spark.functions.nt import (
+            parse_nt_expr, parse_nt_lines,
+        )
+
+        lines = [
+            "<http://s><http://p><http://o>.",          # zero whitespace
+            "<http://s>\t<http://p> <http://o> .",       # tab separators
+            "<http://s>\f<http://p> <http://o> .",       # \f: malformed both
+            '<http://s> <http://p> "x"@en<http://g> .',  # no ws before graph
+        ]
+        df = spark.createDataFrame(pd.DataFrame({"line": lines}))
+        cols = ["subject", "predicate", "obj", "datatype", "language", "graph"]
+        fast = sorted(tuple(r) for r in parse_nt_expr(df).select(*cols).collect())
+        exact = sorted(tuple(r) for r in parse_nt_lines(df).select(*cols).collect())
+        assert fast == exact
+        assert len(fast) == 3  # the \f line is dropped by BOTH paths
+
+    def test_format_expr_bad_uri_and_control_char_parity(self, spark):
+        from quad_processor_util_spark.functions.nt import (
+            format_nt_exact, format_nt_expr,
+        )
+
+        rows = [
+            ("http://ex.org/a<b", "http://p/x", "http://o/y",
+             None, None, None, None),                  # '<' in URI: bad
+            ("http://s/ok", "http://p/x", "ctl\x01here",
+             "http://www.w3.org/2001/XMLSchema#string", None, None, None),
+            ("http://s/ok", "http://p/x", "clean",
+             "http://www.w3.org/2001/XMLSchema#string", None, None, None),
+        ]
+        schema = ("subject string, predicate string, obj string, "
+                  "datatype string, language string, graph string, "
+                  "dataset string")
+        df = spark.createDataFrame(rows, schema)
+        jvm = sorted(r.line for r in format_nt_expr(df).collect())
+        exact = sorted(r.line for r in format_nt_exact(df).collect())
+        assert jvm == exact
+        assert sum(1 for x in jvm if x.startswith("# ")) == 1
+        assert any("\\u0001" in x for x in jvm)
+
+    def test_salted_join_spreads_duplicate_hot_rows(self, spark):
+        from quad_processor_util_spark.operators.joins import salted_join
+
+        # 2000 CONTENT-IDENTICAL hot rows: content-hash salting put them
+        # all in one bucket; per-row salting must spread them
+        fact = spark.createDataFrame([(1, "same")] * 2000, "k int, payload string")
+        dim = spark.createDataFrame([(1, "d")], "k int, dval string")
+        out = salted_join(fact, dim, "k", salt_buckets=8)
+        assert out.count() == 2000
+        from pyspark.sql import functions as F2
+        salts = (
+            fact.withColumn(
+                "__salt",
+                F2.pmod(F2.xxhash64(F2.monotonically_increasing_id()), F2.lit(8)))
+            .select("__salt").distinct().count()
+        )
+        assert salts > 1
+
+    def test_is_globally_sorted_handles_nulls(self, spark):
+        from quad_processor_util_spark.operators.sort import (
+            is_globally_sorted, sort_quads,
+        )
+
+        rows = [(None,), ("b",), ("a",), (None,), ("c",)]
+        df = spark.createDataFrame(rows, "subject string")
+        assert is_globally_sorted(df.coalesce(1), "subject") is False
+        s = sort_quads(df, "subject", num_partitions=2)
+        assert is_globally_sorted(s, "subject") is True
+
+
 def test_resume_touches_only_missing_buckets(spark, monkeypatch, tmp_path):
     acc = _counting_extract(spark, monkeypatch)
     tr = _transcripts(spark, n=400)
