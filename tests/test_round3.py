@@ -150,6 +150,28 @@ def test_dedup_clusters_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_size_conf_parsing_and_split_estimate(spark, tmp_path):
+    from quad_processor_util_spark.operators.dedup import (
+        _estimated_scan_partitions, _size_bytes,
+    )
+
+    assert _size_bytes("134217728b") == 134217728
+    assert _size_bytes("128m") == 128 << 20
+    assert _size_bytes("128MB") == 128 << 20
+    assert _size_bytes("1g") == 1 << 30
+    assert _size_bytes("4096") == 4096
+    # many tiny files estimate as PACKED splits (openCostInBytes binning),
+    # not one split per file — review finding: the naive per-file count
+    # skipped the needed repartition exactly when inputs were tiny
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id AS STRING) AS text")
+    p = str(tmp_path / "tiny")
+    df.repartition(40).write.mode("overwrite").parquet(p)
+    est = _estimated_scan_partitions(spark.read.parquet(p))
+    assert 1 <= est <= 4  # 40 tiny files × 4MB open cost / 128MB ≈ 2
+    # in-memory views have no files -> 0 (treated as too-coarse)
+    assert _estimated_scan_partitions(df) == 0
+
+
 class TestReviewFixes:
     """Regression tests for the round-3 deep-review findings."""
 
