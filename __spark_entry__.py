@@ -984,7 +984,7 @@ def _q_sorted_check(spark, sf_dir):
         .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_violations"))
     )
     return (
-        _t(spark, sf_dir, "events").select("user_id").distinct()
+        ev.select("user_id").distinct()
         .join(flags, "user_id", "left")
         .select("user_id",
                 F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
@@ -1007,11 +1007,14 @@ def _q_snapshots_union(spark, sf_dir):
 
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding near-dup pairs via hyperplane-bucket self-join. The corpus
-    is the embeddings table UNION a scaled copy (×1.5, ids +10000): scaling
-    preserves every hyperplane sign bit, so each (i, i+10000) pair is
+    is the embeddings table UNION a scaled copy (×1.5, ids offset by
+    10^7 — far above any real vec_id at every SF, so planted ids can never
+    collide with data ids): scaling preserves every hyperplane sign bit,
+    so each (i, i+10^7) pair is
     GUARANTEED co-bucketed in all tables, and cosine(v, 1.5v) = 1.0 —
     while the strongest natural pair in the data is ~0.51, far below the
-    0.95 threshold. Output is therefore exactly the 500 planted pairs; the
+    0.95 threshold. Output is therefore exactly one planted pair per
+    corpus vector; the
     oracle REPLAYS the seeded hyperplane bucketing + cosine filter in SQL
     over the same corpus rather than assuming the planted construction."""
     from quad_processor_util_spark.operators.similarity import (
@@ -1020,7 +1023,7 @@ def _q_embedding_neardup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = emb.select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     corpus = emb.unionByName(dup)
@@ -1472,7 +1475,7 @@ def _embedding_neardup_oracle_sql(dim: int = _EMB_DIM, threshold: float = 0.95,
                                   planes: int = 6, tables: int = 6,
                                   seed: int = 42) -> str:
     """DuckDB replay of embedding_cosine_dedup_pairs over the same planted
-    corpus (embeddings UNION a ×1.5/+10000 copy): the SAME seeded
+    corpus (embeddings UNION a ×1.5/+10^7 copy): the SAME seeded
     hyperplanes (inlined as literals), sign-bit buckets per table,
     candidate self-join on (table, bucket), exact cosine filter on
     candidates only. Computes the pairs FROM THE DATA — the planted-pair
@@ -1497,7 +1500,7 @@ WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + 10000 AS vec_id,
+  SELECT vec_id + 10000000 AS vec_id,
          list_transform(v, x -> x * 1.5) AS v
   FROM base
 ),

@@ -37,25 +37,23 @@ def main() -> None:
     # DuckDB can replay them — correct but slower, and not what a cluster
     # deployment runs. Overriding here keeps round-over-round comparability
     # with earlier BENCH_r*.json files (same operator, same hash).
+    from quad_processor_util_spark.demo import read_table
     from quad_processor_util_spark.operators.dedup import (
-        minhash_dedup as _mh, simhash_signatures as _sh,
+        dedup_clusters as _dc,
+        minhash_dedup as _mh,
+        simhash_signatures as _sh,
     )
 
     def _bench_minhash(spark, sf):
-        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
-        return _mh(docs, num_hashes=36, bands=6, threshold=0.7).select("doc_id")
+        return _mh(read_table(spark, sf, "documents"),
+                   num_hashes=36, bands=6, threshold=0.7).select("doc_id")
 
     def _bench_simhash(spark, sf):
-        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
-        return _sh(docs).select("doc_id", "simhash")
-
-    from quad_processor_util_spark.operators.dedup import (
-        dedup_clusters as _dc,
-    )
+        return _sh(read_table(spark, sf, "documents")).select("doc_id", "simhash")
 
     def _bench_dedup_clusters(spark, sf):
-        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
-        return _dc(docs, num_hashes=36, bands=6, threshold=0.7)
+        return _dc(read_table(spark, sf, "documents"),
+                   num_hashes=36, bands=6, threshold=0.7)
 
     qs["minhash_dedup"] = _bench_minhash
     qs["simhash"] = _bench_simhash
@@ -141,7 +139,8 @@ def main() -> None:
     import tempfile
 
     from pyspark.sql import functions as F
-    from __spark_entry__ import _events_as_transcripts as _tr
+
+    _tr = _events_as_transcripts
 
     rep_dir = tempfile.mkdtemp(prefix="bench_turns_")
     try:

@@ -87,8 +87,13 @@ def main() -> None:
     levels = [2, 4, 8, 16, 32]
     rates: dict[int, float] = {}
     for n in levels:
-        with mp.Pool(n) as p:
-            p.map(warm, range(n))  # imports + one small batch per worker
+        # initializer warms EVERY worker by construction — map(warm, ...)
+        # alone could let a fast worker grab two warm tasks and leave
+        # another cold, putting imports + first-call warm-up inside the
+        # timed region; the map below is kept as a BARRIER so t0 starts
+        # only after every worker is up (its tasks are no-ops post-init)
+        with mp.Pool(n, initializer=warm, initargs=(0,)) as p:
+            p.map(warm, range(n))
             t0 = time.time()
             p.map(work, range(n))
             dt = time.time() - t0

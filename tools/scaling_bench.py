@@ -119,8 +119,14 @@ def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        # exit 0 with no result line (killed executor thread, polluted
+        # stdout): surface the diagnostics instead of a bare IndexError
+        raise RuntimeError(
+            f"scaling child produced no JSON result; stdout tail: "
+            f"{out.stdout[-1000:]!r} stderr tail: {out.stderr[-1000:]!r}")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -132,8 +138,12 @@ def main() -> None:
     trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     prep_out = _run(_PREP.format(repo=REPO, sf_dir=sf_dir, repl=repl,
                                  prep_dir=PREP_DIR))
-    n_rows = int([ln for ln in prep_out.splitlines()
-                  if ln.startswith("PREP_ROWS")][-1].split()[1])
+    prep_lines = [ln for ln in prep_out.splitlines()
+                  if ln.startswith("PREP_ROWS")]
+    if not prep_lines:
+        raise RuntimeError(
+            f"prep produced no PREP_ROWS line; stdout tail: {prep_out[-1000:]!r}")
+    n_rows = int(prep_lines[-1].split()[1])
     import tempfile
     zip_path = _pyfiles_zip()
     child_py = os.path.join(tempfile.mkdtemp(prefix="scaling_child_"),
@@ -145,15 +155,25 @@ def main() -> None:
     for _ in range(trials):  # interleaved: host variance hits all levels
         for c in levels:
             by_level[c].append(run_level(c, child_py, zip_path))
-    # true middle for odd trial counts; the LOWER middle (slower trial) for
-    # even counts — conservative, never best-of-N masquerading as median
-    med = lambda ts: sorted(ts, key=lambda r: r["turns_per_sec"])[(len(ts) - 1) // 2]
-    meds = {c: med(by_level[c]) for c in levels}
+    # efficiency uses the TRUE median throughput (interpolated for even
+    # trial counts): picking the lower-middle trial for BOTH levels would
+    # deflate the denominator and inflate the ratio — the opposite of
+    # conservative (review finding). The representative trial shown in the
+    # wall-sec tables is the lower-middle one.
+    def med_tps(ts: list[dict]) -> float:
+        v = sorted(r["turns_per_sec"] for r in ts)
+        m = len(v) // 2
+        return v[m] if len(v) % 2 else (v[m - 1] + v[m]) / 2
+
+    rep = lambda ts: sorted(ts, key=lambda r: r["turns_per_sec"])[(len(ts) - 1) // 2]
+    meds = {c: rep(by_level[c]) for c in levels}
+    med_thr = {c: med_tps(by_level[c]) for c in levels}
     pairs = []
     for n in ns:
-        lo, hi = meds[n], meds[4 * n]
-        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4
-        pairs.append({"N": n, "low": lo, "high": hi,
+        eff = (med_thr[4 * n] / med_thr[n]) / 4
+        pairs.append({"N": n, "low": meds[n], "high": meds[4 * n],
+                      "median_tps_low": round(med_thr[n]),
+                      "median_tps_high": round(med_thr[4 * n]),
                       "scaling_efficiency": round(eff, 3)})
     best = max(p["scaling_efficiency"] for p in pairs)
     result = {
@@ -169,7 +189,7 @@ def main() -> None:
     import multiprocessing
     level_rows = "\n".join(
         f"| local[{c}] | {meds[c]['sec']:.2f} | {meds[c]['turns']:,} "
-        f"| {meds[c]['turns_per_sec']:,.0f} "
+        f"| {med_thr[c]:,.0f} "
         f"| {', '.join(str(round(r['turns_per_sec'])) for r in by_level[c])} |"
         for c in levels
     )
