@@ -268,6 +268,68 @@ def _q_extract_kg_shuffled(spark, sf_dir):
     return quads.select("subject", "predicate", "obj", "graph").distinct()
 
 
+def _q_resume_pipeline(spark, sf_dir):
+    """Checkpoint/resume gate (BASELINE.md resumability target, driver-gated
+    per round-3 verdict item 6; ref QuadReader.scala:163-203 resumable scan).
+
+    Inside one query: (1) run the bucketed extraction through
+    run_checkpointed and CRASH it mid-job after 3 of 8 bucket commits (a
+    raising process callable = the driver dying between commits); (2) resume
+    against the same ledger — asserting in-query that the resumed run
+    invokes the process for EXACTLY the 5 missing buckets, never the
+    committed ones; (3) read the combined on-disk output back. The oracle
+    SQL computes the uninterrupted full extraction independently, so the
+    hash match proves crash+resume ≡ one clean run. Side effects live in a
+    fresh temp dir (left for /tmp cleanup — the returned DataFrame lazily
+    reads from it, so deleting here would break the driver's collect)."""
+    import tempfile
+
+    from quad_processor_util_spark.plans.checkpoint import run_checkpointed
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="resume_gate_")
+    out = os.path.join(workdir, "out")
+    ledger = os.path.join(workdir, "ledger.jsonl")
+    n_buckets, crash_after = 8, 3
+
+    def _process(df):
+        return extract_quads(df, _GAZ, assume_bucketed=True).select(
+            "subject", "predicate", "obj", "graph")
+
+    calls = {"n": 0}
+
+    def _crashing(df):
+        if calls["n"] >= crash_after:
+            raise RuntimeError("simulated driver crash between bucket commits")
+        calls["n"] += 1
+        return _process(df)
+
+    crashed = False
+    try:
+        run_checkpointed(tr, _crashing, out, ledger, n_buckets=n_buckets)
+    except RuntimeError:
+        crashed = True
+    if not crashed:
+        raise AssertionError("resume gate: simulated crash did not fire")
+
+    resumed = {"n": 0}
+
+    def _counting(df):
+        resumed["n"] += 1
+        return _process(df)
+
+    run_checkpointed(tr, _counting, out, ledger, n_buckets=n_buckets)
+    if resumed["n"] != n_buckets - crash_after:
+        raise AssertionError(
+            f"resume gate: resumed run processed {resumed['n']} buckets, "
+            f"expected {n_buckets - crash_after} (completed buckets must be "
+            f"skipped, missing ones must all run)")
+    return (
+        spark.read.parquet(out)
+        .select("subject", "predicate", "obj", "graph").distinct()
+    )
+
+
 def _q_minhash_dedup(spark, sf_dir):
     # md5-based signatures + concat band buckets: the exact pipeline is
     # replayable in DuckDB (oracle below); default xxhash64 variant is the
@@ -1246,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "extract_kg": _q_extract_kg,
         "extract_kg_shuffled": _q_extract_kg_shuffled,
+        "resume_pipeline": _q_resume_pipeline,
         "mint_iri": _q_mint_iri,
         "media_features": _q_media_features,
         "uri_to_iri": _q_uri_to_iri,
@@ -1670,6 +1733,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "extract_kg": f"""
+            SELECT DISTINCT
+                   {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
+                   'http://example.org/ontology/worksAt' AS predicate,
+                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
+                   'http://example.org/conv/' || user_id AS graph
+            FROM events
+        """,
+        # crash-after-3-buckets + resume must equal ONE uninterrupted run:
+        # same full-extraction SQL as extract_kg (the query itself asserts
+        # the resumed run touched only the 5 missing buckets)
+        "resume_pipeline": f"""
             SELECT DISTINCT
                    {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
                    'http://example.org/ontology/worksAt' AS predicate,

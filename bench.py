@@ -100,32 +100,48 @@ def main() -> None:
         _events_as_transcripts(spark, sf_dir).limit(2000), _GAZ
     ).distinct().count()
 
-    # best-of-N with adaptive retries: the sandbox host shows minute-scale
-    # co-tenant bursts (observed up to ~8x on single queries). Two runs
-    # always; while the runs disagree by >1.5x, re-run (up to 4 total) so
-    # one burst doesn't poison the recorded number. The best run also
-    # reflects the steady state a long-lived cluster job lives in.
-    def best_of(action) -> tuple[float, int]:
-        runs: list[float] = []
-        n = 0
-        while len(runs) < 2 or (len(runs) < 4 and max(runs) > 1.5 * min(runs)):
+    # Interleaved-median protocol (same as tools/scaling_bench.py, adopted
+    # per round-3 verdict item 3): the sandbox host shows minute-scale
+    # co-tenant bursts (observed up to ~8x on single queries), so best-of-N
+    # reruns of ONE query back-to-back can all land inside the same burst
+    # and record a phantom regression (round 3's lsh_topk 1.62->7.34s).
+    # Instead run ALL queries round-robin for TRIALS passes — a burst then
+    # taxes every query a little instead of one query entirely — and report
+    # the per-query MEDIAN plus min/max spread so r(N)-vs-r(N+1) deltas are
+    # interpretable.
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
+
+    def _median(v: list[float]) -> float:
+        s = sorted(v)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    runs: dict[str, list[float]] = {name: [] for name in bench_names}
+    rowcounts: dict[str, int] = {}
+    for t in range(trials):
+        for name in bench_names:
+            fn = qs[name]
             t0 = time.time()
-            n = action()
-            runs.append(time.time() - t0)
+            rowcounts[name] = fn(spark, sf_dir).count()
+            runs[name].append(time.time() - t0)
             # queries that persist() intermediates (the linking split) would
-            # otherwise serve rerun N+1 from the CacheManager — Spark
+            # otherwise serve the next trial from the CacheManager — Spark
             # substitutes structurally identical plans with the populated
-            # InMemoryRelation, and min(runs) would time a cache read, not
+            # InMemoryRelation — and the median would time cache reads, not
             # the pipeline
             spark.catalog.clearCache()
-        return min(runs), n
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in bench_names:
-        fn = qs[name]
-        best, n = best_of(lambda: fn(spark, sf_dir).count())
-        timings[name] = round(best, 3)
-        if n == 0:
+        timings[name] = round(_median(runs[name]), 3)
+        detail[name] = {
+            "median": timings[name],
+            "min": round(min(runs[name]), 3),
+            "max": round(max(runs[name]), 3),
+            "trials": len(runs[name]),
+        }
+        if rowcounts[name] == 0:
             print(f"# WARN {name}: 0 rows", file=sys.stderr)
 
     # Flagship turns/sec at a compute-dominated scale: the sf0.1 events
@@ -153,12 +169,22 @@ def main() -> None:
         big.write.mode("overwrite").parquet(rep_dir)
         big = spark.read.parquet(rep_dir)
         n_turns = big.count()
-        best_ext, _ = best_of(
-            lambda: extract_quads(big, _GAZ)
-            .select("subject", "predicate", "obj", "graph")
-            .distinct().count()
-        )
-        turns_per_sec = round(n_turns / best_ext, 1)
+        ext_runs: list[float] = []
+        for _ in range(trials):
+            t0 = time.time()
+            (extract_quads(big, _GAZ)
+             .select("subject", "predicate", "obj", "graph")
+             .distinct().count())
+            ext_runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        med_ext = _median(ext_runs)
+        turns_per_sec = round(n_turns / med_ext, 1)
+        detail["flagship_extract"] = {
+            "median": round(med_ext, 3),
+            "min": round(min(ext_runs), 3),
+            "max": round(max(ext_runs), 3),
+            "trials": len(ext_runs),
+        }
     finally:
         shutil.rmtree(rep_dir, ignore_errors=True)
 
@@ -168,6 +194,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_detail": detail,
+        "trials": trials,
         "sf": sf,
         "cpus": cpus,
         "turns": n_turns,

@@ -176,12 +176,26 @@ def _unescape_expr(col: Column) -> Column:
 
 
 def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
-                  unescape: bool = True) -> DataFrame:
-    """Pure-Catalyst parse (regexp_extract chain). Literal lexical forms get
-    the simple-escape unescape chain (\\\\ \\t \\b \\n \\r \\f \\\" \\');
-    \\uXXXX stays raw — the documented residual vs parse_nt_lines, which is
-    the exact path. unescape=False keeps lexical forms raw for scan-speed
-    benches over clean data."""
+                  unescape: bool = True, hybrid: bool = True) -> DataFrame:
+    """Catalyst parse (regexp_extract chain) with a hybrid escape route.
+
+    Literal lexical forms get the simple-escape unescape chain
+    (\\\\ \\t \\b \\n \\r \\f \\\" \\') in pure expressions. \\uXXXX /
+    \\UXXXXXXXX have no codepoint constructor in Catalyst, so with
+    hybrid=True (default) the rare lines containing a ``\\u``/``\\U``
+    sequence are routed through the exact Arrow parser (parse_nt_lines)
+    and unioned back — a cheap rlike split; the 99%+ clean lines keep the
+    JVM fast path, and the two routes now agree on unicode-escaped corpora
+    (closes the round-3 residual; ref TurtleUtils.scala:51-90).
+    hybrid=False restores the pure-expression plan (\\uXXXX stays raw).
+    unescape=False keeps lexical forms raw for scan-speed benches over
+    clean data (implies no hybrid split)."""
+    if unescape and hybrid:
+        has_u = F.col(line_col).rlike(r"\\[uU]")
+        fast = parse_nt_expr(lines_df.where(~has_u), line_col,
+                             unescape=True, hybrid=False)
+        slow = parse_nt_lines(lines_df.where(has_u), line_col)
+        return fast.unionByName(slow)
     c = F.col(line_col)
     g = lambda i: F.regexp_extract(c, _TRIPLE_RE, i)  # noqa: E731
     matched = c.rlike(_TRIPLE_RE)

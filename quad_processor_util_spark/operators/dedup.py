@@ -60,17 +60,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _size_bytes(raw: str) -> int:
-    """Parse a Spark size conf value ('134217728b', '128m', '1g')."""
+    """Parse a Spark size conf value ('134217728b', '128m', '1g', '2t').
+
+    Tolerant by design: Spark's own JavaUtils.byteStringAs accepts the full
+    k/m/g/t/p suffix family and some deployments set fractional values
+    ('0.5g'); an unparseable session conf must degrade to the 128 MB
+    default, never crash the dedup constructor (round-3 advice)."""
     s = raw.strip().lower()
     mult = 1
     for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("tb", 1 << 40), ("pb", 1 << 50),
                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40), ("p", 1 << 50),
                       ("b", 1)):
         if s.endswith(suffix):
             s = s[: -len(suffix)]
             mult = m
             break
-    return int(s) * mult
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 128 << 20
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int:
@@ -111,9 +121,22 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     serializes the expensive explode+aggregate stages that follow (a 32-core
     box running a 36-agg shingle pipeline on one core). A 100 TB table scans
     as thousands of splits and this is a no-op; the repartition only ever
-    moves the projected (id, text) columns."""
+    moves the projected (id, text) columns.
+
+    The estimate is file-metadata-only, so an input the caller already
+    repartitioned wide from a few small files would look too-coarse and pay
+    a second redundant shuffle (round-3 advice). Guard: if the analyzed plan
+    already contains an explicit Repartition/RepartitionByExpression, trust
+    the caller's partitioning and skip the re-spread (a caller who
+    coalesce(1)'d asked for narrowness on purpose; we honor that too)."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     if _estimated_scan_partitions(df) < max(2, target // 2):
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            plan = ""
+        if "Repartition" in plan:
+            return df
         return df.repartition(target)
     return df
 

@@ -134,10 +134,15 @@ def assert_sorted(df: DataFrame, key: str, order: str) -> int:
     import pandas as pd
 
     def _t(v):
-        # null-first total order without ever comparing None: shorter tuple
-        # sorts before longer
-        return (0,) if v is None or (isinstance(v, float) and pd.isna(v)) \
-            else (1, v)
+        # nulls-first / NaN-last total order matching Spark's (NaN > any
+        # real), without ever comparing None or NaN to a value. Same
+        # Arrow caveat as is_globally_sorted: a true SQL NULL in a float
+        # column arrives as NaN and lands in the NaN-last bucket.
+        if v is None:
+            return (0,)
+        if isinstance(v, float) and pd.isna(v):
+            return (2,)
+        return (1, v)
 
     def _viol(batches):
         prev = None

@@ -207,6 +207,7 @@ def link_unknown_mentions(
     quads: DataFrame,
     catalog: DataFrame,
     min_jaccard: float = 0.4,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Fuzzy entity linking for the unknown-mention placeholder quads emitted
     by extract_quads(emit_unknown=True): the ex:mentionSurface quads are
@@ -227,11 +228,15 @@ def link_unknown_mentions(
     # instead of failing the job) and the columnar InMemoryRelation serves
     # the three different branch filters with batch-level pruning.
     # LIFECYCLE: CacheManager holds SQL cache entries until an explicit
-    # unpersist/clearCache (ContextCleaner does NOT reap them) — a driver
-    # that composes many pipelines in one session must
-    # spark.catalog.clearCache() between them, as bench.py and
-    # tools/check_correctness.py do.
+    # unpersist/clearCache (ContextCleaner does NOT reap them). Scoped
+    # release (round-3 advice): pass `cache_registry=[]` and, after the
+    # final action on the returned frame, call .unpersist() on each entry —
+    # this evicts ONLY this pipeline's cache, unlike the session-wide
+    # spark.catalog.clearCache() that bench.py / tools/check_correctness.py
+    # use between timed reruns (fine there, where nothing else is cached).
     quads = quads.persist()
+    if cache_registry is not None:
+        cache_registry.append(quads)
     placeholders = quads.where(F.col("predicate") == surf_pred)
     rest = quads.where(F.col("predicate") != surf_pred)
     links = link_surface_forms(
@@ -268,11 +273,16 @@ def run_pipeline(
     out_path: str | None = None,
     policy: str = "LONGEST_DOMINANT_RIGHT",
     fuzzy_link: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """End-to-end: extract (→ optional fuzzy mention linking) → canonicalize
     (CC over alias edges) → dedup (→ optionally materialize partitioned by
     predicate). Returns the final quad DataFrame. `catalog_pdf` is the pandas
-    entity catalog (gazetteer dimension — small by design, broadcast)."""
+    entity catalog (gazetteer dimension — small by design, broadcast).
+    `cache_registry`: optional list that collects any DataFrames this
+    pipeline persist()s (the fuzzy-link split), so callers composing many
+    pipelines in one session can .unpersist() exactly this pipeline's cache
+    after their final action instead of a session-wide clearCache()."""
     from ..datagen import build_gazetteer
     from ..operators.cc import canonical_mapping
 
@@ -281,7 +291,8 @@ def run_pipeline(
                           emit_unknown=fuzzy_link)
     if fuzzy_link:
         spark_catalog = spark.createDataFrame(catalog_pdf)
-        quads = link_unknown_mentions(quads, spark_catalog)
+        quads = link_unknown_mentions(quads, spark_catalog,
+                                      cache_registry=cache_registry)
     mapping, excluded = canonical_mapping(alias_edges)
     canon = canonicalize(quads, mapping, excluded)
     final = dedup_quads_df(canon)
