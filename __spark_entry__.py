@@ -330,6 +330,103 @@ def _q_resume_pipeline(spark, sf_dir):
     )
 
 
+def _q_pipeline_metrics(spark, sf_dir):
+    """Counter-metrics gate (A3, LogRecorder analog — round 4 upgrades it
+    from pytest-only): input/output row counters ride the extraction job as
+    df.observe() aggregates (ZERO extra passes — the reference's counters
+    accumulate during the write, LogRecorder.scala:234-251), then surface as
+    a (metric, value) table. Oracle: both counters equal count(events) —
+    every events-derived turn mentions exactly one (person, org) pair, so
+    pre-dedup extraction emits exactly one quad per turn."""
+    import pandas as pd
+
+    from quad_processor_util_spark.plans.metrics import observed_counts
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    # one plan carries BOTH CollectMetrics nodes — names must differ
+    tr_obs, obs_in = observed_counts(tr, "turns_in")
+    quads = extract_quads(tr_obs, _GAZ, assume_bucketed=True)
+    quads_obs, obs_out = observed_counts(quads, "quads_out")
+    quads_obs.count()  # ONE action populates both observations
+    final = pd.DataFrame({
+        "metric": ["quads_out", "turns_in"],
+        "value": [int(obs_out.get["rows"]), int(obs_in.get["rows"])],
+    })
+    return spark.createDataFrame(final)
+
+
+def _q_stream_extract(spark, sf_dir):
+    """Structured-Streaming gate (§2.11, round-4: upgrades streaming from
+    pytest-only to a driver CORRECTNESS row): transcripts written as 16
+    parquet file drops → readStream (maxFilesPerTrigger=8, so ≥2
+    micro-batches) → the SAME extraction mapInPandas as batch → exactly-once
+    parquet append sink (availableNow drains everything, then stops) → read
+    back. Oracle = the batch extraction SQL: stream and batch must emit
+    identical quads."""
+    import tempfile
+
+    from quad_processor_util_spark.streaming.ingest import (
+        read_transcript_stream, run_stream_to_parquet, streaming_extract,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_gate_")
+    in_dir = os.path.join(workdir, "in")
+    out_dir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    # events parquet carries TIMESTAMP_NTZ; the stream source schema declares
+    # LTZ — cast before writing the drops (monotone, so gap logic unchanged)
+    (_events_as_transcripts(spark, sf_dir)
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .repartition(16).write.parquet(in_dir))
+    quads = streaming_extract(read_transcript_stream(spark, in_dir), _GAZ)
+    run_stream_to_parquet(quads, out_dir, ckpt).awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select("subject", "predicate", "obj", "graph").distinct()
+    )
+
+
+def _q_stream_sessionize(spark, sf_dir):
+    """Stateful-streaming gate: applyInPandasWithState session counting must
+    converge to the batch answer once the stream drains. Input files are
+    clustered by conv_id (each conversation fully inside one file drop →
+    one trigger sees all its rows in event order; cross-trigger state is
+    still exercised across the 2 micro-batches). The update-mode rows are
+    captured per-trigger via foreachBatch and the LAST emission per
+    conversation is the final state — one row per conv per trigger, bounded
+    driver work by construction (gate harness only; production points the
+    update sink at a store)."""
+    import tempfile
+
+    import pandas as pd
+
+    from quad_processor_util_spark.streaming.ingest import (
+        read_transcript_stream, streaming_sessionize,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_sess_")
+    in_dir = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    (_events_as_transcripts(spark, sf_dir)
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .repartition(16, "conv_id").write.parquet(in_dir))
+    sess = streaming_sessionize(
+        read_transcript_stream(spark, in_dir), gap_minutes=30)
+    acc: list = []
+
+    def _capture(bdf, bid):
+        acc.append(bdf.toPandas().assign(__b=bid))
+
+    (sess.writeStream.outputMode("update").foreachBatch(_capture)
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start().awaitTermination())
+    allb = pd.concat(acc, ignore_index=True)
+    final = (allb.sort_values(["conv_id", "__b"], kind="stable")
+             .groupby("conv_id", sort=False).tail(1)
+             [["conv_id", "n_sessions", "n_turns"]])
+    return spark.createDataFrame(final)
+
+
 def _q_minhash_dedup(spark, sf_dir):
     # md5-based signatures + concat band buckets: the exact pipeline is
     # replayable in DuckDB (oracle below); default xxhash64 variant is the
@@ -1309,6 +1406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_kg": _q_extract_kg,
         "extract_kg_shuffled": _q_extract_kg_shuffled,
         "resume_pipeline": _q_resume_pipeline,
+        "stream_extract": _q_stream_extract,
+        "stream_sessionize": _q_stream_sessionize,
+        "pipeline_metrics": _q_pipeline_metrics,
         "mint_iri": _q_mint_iri,
         "media_features": _q_media_features,
         "uri_to_iri": _q_uri_to_iri,
@@ -1750,6 +1850,41 @@ def oracle_sql() -> dict[str, str]:
                    {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
                    'http://example.org/conv/' || user_id AS graph
             FROM events
+        """,
+        # observe()-counters riding the extraction job: one quad per turn
+        # pre-dedup, so both counters equal count(events)
+        "pipeline_metrics": """
+            SELECT 'quads_out' AS metric, CAST(count(*) AS BIGINT) AS value
+            FROM events
+            UNION ALL
+            SELECT 'turns_in', CAST(count(*) AS BIGINT) FROM events
+        """,
+        # stream drain (availableNow over 16 file drops, ≥2 micro-batches)
+        # must emit the SAME quads as one batch extraction
+        "stream_extract": f"""
+            SELECT DISTINCT
+                   {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
+                   'http://example.org/ontology/worksAt' AS predicate,
+                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
+                   'http://example.org/conv/' || user_id AS graph
+            FROM events
+        """,
+        # the stateful operator's FINAL per-conversation state after the
+        # stream drains == the batch 30-minute-gap sessionization
+        "stream_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN ts > lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_turns
+            FROM g GROUP BY user_id
         """,
         # same quads whether extraction ran on the bucketed fast path or
         # through stable_order's explicit repartition + secondary sort

@@ -84,7 +84,11 @@ def _one_batch():
 
 
 def main() -> None:
-    levels = [2, 4, 8, 16, 32]
+    # custom counts let the calibration match the engine's MEASURED busy-core
+    # occupancy (e.g. `host_ceiling.py 10 21` when /proc sampling shows
+    # local[8]≈10 and local[32]≈21 busy cores) — the apples-to-apples
+    # per-core-productivity comparison for the upper scaling pairs
+    levels = [int(x) for x in sys.argv[1:]] or [2, 4, 8, 16, 32]
     rates: dict[int, float] = {}
     for n in levels:
         # initializer warms EVERY worker by construction — map(warm, ...)
@@ -99,7 +103,7 @@ def main() -> None:
             dt = time.time() - t0
         rates[n] = ROWS_PER_PROC * n / dt
     pairs = {}
-    for lo in [2, 4, 8]:
+    for lo in levels:
         hi = lo * 4
         if hi in rates:
             pairs[f"{lo}->{hi}"] = round(rates[hi] / rates[lo] / 4, 3)

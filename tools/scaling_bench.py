@@ -27,6 +27,8 @@ import json
 import os
 import subprocess
 import sys
+import threading
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PREP_DIR = "/tmp/scaling_input"
@@ -57,6 +59,8 @@ spark.stop()
 # The measured child is launched through the REAL spark-submit binary with
 # the --py-files dist zip — the north star's deployment form ("run via
 # spark-submit --py-files"), with the master set on the command line.
+# MEASURE_T0 marks the timed window so the parent's /proc sampler can report
+# how many cores the level actually kept busy (JVM vs Python split).
 _CHILD = r"""
 import json, sys, time
 from pyspark.sql import SparkSession
@@ -73,6 +77,7 @@ tr = spark.read.parquet(prep_dir)
 extract_quads(tr.limit(200000).repartition(cpus), GAZETTEER).distinct().count()
 n_turns = tr.count()
 t0 = time.time()
+print("MEASURE_T0", t0, flush=True)
 quads = (extract_quads(tr, GAZETTEER, assume_bucketed=True)
          .dropDuplicates(["subject", "predicate", "obj", "datatype", "language"])
          .count())
@@ -81,6 +86,68 @@ print(json.dumps({"cpus": cpus, "sec": dt, "turns": n_turns,
                   "turns_per_sec": n_turns / dt, "quads": quads}), flush=True)
 spark.stop()
 """
+
+
+# --------------------------------------------------------------------------
+# /proc occupancy sampler: how many cores (JVM vs Python workers) a level
+# actually keeps busy during the measured window. The thread-level scaling
+# substitute advertises local[N] as "N cores", but mapInPandas occupies a
+# JVM task thread AND a pyspark.daemon worker per task — measured occupancy
+# is the number the pair efficiencies must be read against.
+# --------------------------------------------------------------------------
+
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _descendants(root_pid: int) -> list[int]:
+    kids: dict[int, list[int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            kids.setdefault(int(parts[1]), []).append(int(pid))
+        except (OSError, IndexError, ValueError):
+            continue
+    out, stack = [], [root_pid]
+    while stack:
+        p = stack.pop()
+        out.append(p)
+        stack.extend(kids.get(p, []))
+    return out
+
+
+def _cpu_and_kind(pid: int):
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            raw = f.read()
+        comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
+        parts = raw.rsplit(")", 1)[1].split()
+        cpu = (int(parts[11]) + int(parts[12])) / _CLK
+    except (OSError, IndexError, ValueError):
+        return None
+    kind = "jvm" if "java" in comm else (
+        "python" if "python" in comm else "other")
+    return cpu, kind
+
+
+class _Sampler(threading.Thread):
+    def __init__(self, root_pid: int):
+        super().__init__(daemon=True)
+        self.root = root_pid
+        self.samples: list[tuple[float, dict[str, float]]] = []
+        self.stop_flag = False
+
+    def run(self):
+        while not self.stop_flag:
+            totals = {"jvm": 0.0, "python": 0.0, "other": 0.0}
+            for pid in _descendants(self.root):
+                ck = _cpu_and_kind(pid)
+                if ck:
+                    totals[ck[1]] += ck[0]
+            self.samples.append((time.time(), totals))
+            time.sleep(0.5)
 
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
@@ -104,7 +171,7 @@ def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
-    out = subprocess.run(
+    proc = subprocess.Popen(
         [SPARK_SUBMIT, "--master", f"local[{cpus}]",
          "--conf", "spark.ui.enabled=false",
          "--conf", f"spark.sql.shuffle.partitions={2 * cpus}",
@@ -115,18 +182,43 @@ def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
          "--conf", "spark.driver.memory=8g",
          "--py-files", zip_path,
          child_py, str(cpus), PREP_DIR],
-        capture_output=True, text=True, timeout=3600, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
     )
-    if out.returncode != 0:
-        raise RuntimeError(out.stderr[-2000:])
-    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
-    if not lines:
+    sampler = _Sampler(proc.pid)
+    sampler.start()
+    t_mark = None
+    result = None
+    stdout_tail: list[str] = []
+    for line in proc.stdout:
+        stdout_tail = (stdout_tail + [line])[-10:]
+        if line.startswith("MEASURE_T0"):
+            t_mark = float(line.split()[1])
+        elif line.startswith("{"):
+            result = json.loads(line)
+    stderr = proc.stderr.read()
+    rc = proc.wait()
+    sampler.stop_flag = True
+    sampler.join()
+    if rc != 0:
+        raise RuntimeError(stderr[-2000:])
+    if result is None:
         # exit 0 with no result line (killed executor thread, polluted
         # stdout): surface the diagnostics instead of a bare IndexError
         raise RuntimeError(
             f"scaling child produced no JSON result; stdout tail: "
-            f"{out.stdout[-1000:]!r} stderr tail: {out.stderr[-1000:]!r}")
-    return json.loads(lines[-1])
+            f"{''.join(stdout_tail)[-1000:]!r} stderr tail: {stderr[-1000:]!r}")
+    # busy-core occupancy over the measured window (cumulative-CPU deltas
+    # between the samples nearest the window edges)
+    if t_mark is not None:
+        window = [s for s in sampler.samples
+                  if t_mark <= s[0] <= t_mark + result["sec"]]
+        if len(window) >= 2:
+            (ta, a), (tb, b) = window[0], window[-1]
+            dt = tb - ta
+            occ = {k: round((b[k] - a[k]) / dt, 1) for k in a}
+            occ["total"] = round(sum(occ.values()), 1)
+            result["busy_cores"] = occ
+    return result
 
 
 def main() -> None:
@@ -187,9 +279,17 @@ def main() -> None:
     print(json.dumps(result))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     import multiprocessing
+    def occ_cell(c: int) -> str:
+        occs = [r["busy_cores"] for r in by_level[c] if r.get("busy_cores")]
+        if not occs:
+            return "—"
+        tot = sorted(o["total"] for o in occs)[(len(occs) - 1) // 2]
+        o = min(occs, key=lambda o: abs(o["total"] - tot))
+        return f"{o['total']:.0f} ({o['jvm']:.0f}J+{o['python']:.0f}P)"
+
     level_rows = "\n".join(
         f"| local[{c}] | {meds[c]['sec']:.2f} | {meds[c]['turns']:,} "
-        f"| {med_thr[c]:,.0f} "
+        f"| {med_thr[c]:,.0f} | {occ_cell(c)} "
         f"| {', '.join(str(round(r['turns_per_sec'])) for r in by_level[c])} |"
         for c in levels
     )
@@ -224,9 +324,14 @@ host-ceiling calibration section below gives what this box can physically
 deliver per 4:1 pair for the same vectorized workload).
 Command: `python tools/scaling_bench.py {sf_dir} {ns_arg} {repl} {trials}`
 
-| level | median wall sec | turns | median turns/sec | all trials (turns/sec) |
-|---|---|---|---|---|
+| level | median wall sec | turns | median turns/sec | busy cores (JVM+Py) | all trials (turns/sec) |
+|---|---|---|---|---|---|
 {level_rows}
+
+"Busy cores" is /proc-sampled over the measured window (median trial):
+mapInPandas occupies a JVM task thread AND a Python worker per task, so
+local[N] demands up to ~2N cores — read the upper pairs against measured
+occupancy, not the advertised thread count.
 
 Every measured 4:1 pair (the engine number next to what the calibration
 section says the HARDWARE delivers for the same vectorized workload at the
