@@ -427,6 +427,72 @@ def _q_stream_sessionize(spark, sf_dir):
     return spark.createDataFrame(final)
 
 
+def _q_turn_rate(spark, sf_dir):
+    """Watermarked windowed-aggregation gate (§2.11 turn_rate_windows — the
+    LogRecorder periodic-throughput analog, previously untested): 5-minute
+    tumbling windows per role over the drained stream must equal batch
+    time-bucketing. complete-mode foreachBatch capture; the LAST batch holds
+    the full aggregation. Window starts surface as epoch seconds (container
+    and both engines run UTC; Spark aligns tumbling windows to the epoch,
+    so start = floor(epoch/300)*300 — exactly the oracle's bucketing)."""
+    import tempfile
+
+    import pandas as pd
+
+    from quad_processor_util_spark.streaming.ingest import (
+        read_transcript_stream, turn_rate_windows,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="turnrate_")
+    in_dir = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    (_events_as_transcripts(spark, sf_dir)
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .repartition(16).write.parquet(in_dir))
+    agg = turn_rate_windows(read_transcript_stream(spark, in_dir))
+    acc: list = []
+
+    def _cap(bdf, bid):
+        acc.append(
+            bdf.select(F.col("window.start").cast("long").alias("w_start"),
+                       "role", "turns").toPandas().assign(__b=bid))
+
+    (agg.writeStream.outputMode("complete").foreachBatch(_cap)
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start().awaitTermination())
+    allb = pd.concat(acc, ignore_index=True)
+    final = allb[allb["__b"] == allb["__b"].max()][["w_start", "role", "turns"]]
+    return spark.createDataFrame(final)
+
+
+def _q_multi_sink(spark, sf_dir):
+    """Multi-sink fan-out gate (S7, CompositeDestination.scala:13-35 —
+    previously pytest-only): ONE extraction fanned out to two sinks (full
+    quads parquet; per-graph counts parquet) through write_composite's
+    persist-once scan, then both sinks read back and combined. Oracle
+    recomputes both from events (one quad per turn pre-dedup)."""
+    import tempfile
+
+    from quad_processor_util_spark.sources.io import write_composite
+
+    workdir = tempfile.mkdtemp(prefix="multisink_")
+    p1 = os.path.join(workdir, "quads")
+    p2 = os.path.join(workdir, "by_graph")
+    quads = extract_quads(_events_as_transcripts(spark, sf_dir), _GAZ,
+                          assume_bucketed=True)
+    write_composite(quads, [
+        lambda d: d.write.mode("overwrite").parquet(p1),
+        lambda d: (d.groupBy("graph").agg(F.count(F.lit(1)).alias("n"))
+                   .write.mode("overwrite").parquet(p2)),
+    ])
+    totals = (spark.read.parquet(p1).agg(F.count(F.lit(1)).alias("n"))
+              .select(F.lit("__total_quads").alias("key"), "n"))
+    per_graph = (spark.read.parquet(p2)
+                 .select(F.concat(F.lit("graph="), F.col("graph")).alias("key"),
+                         "n"))
+    return totals.unionByName(per_graph)
+
+
 def _q_minhash_dedup(spark, sf_dir):
     # md5-based signatures + concat band buckets: the exact pipeline is
     # replayable in DuckDB (oracle below); default xxhash64 variant is the
@@ -1409,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract": _q_stream_extract,
         "stream_sessionize": _q_stream_sessionize,
         "pipeline_metrics": _q_pipeline_metrics,
+        "turn_rate": _q_turn_rate,
+        "multi_sink": _q_multi_sink,
         "mint_iri": _q_mint_iri,
         "media_features": _q_media_features,
         "uri_to_iri": _q_uri_to_iri,
@@ -1858,6 +1926,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             UNION ALL
             SELECT 'turns_in', CAST(count(*) AS BIGINT) FROM events
+        """,
+        # drained 5-minute tumbling windows per role == batch time-bucketing
+        # (windows align to the epoch; everything runs UTC)
+        "turn_rate": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start,
+                   'user' AS role,
+                   CAST(count(*) AS BIGINT) AS turns
+            FROM events GROUP BY 1
+        """,
+        # persist-once fan-out: both sinks must reflect the same single
+        # extraction — total quads + per-graph counts
+        "multi_sink": """
+            SELECT '__total_quads' AS key, CAST(count(*) AS BIGINT) AS n
+            FROM events
+            UNION ALL
+            SELECT 'graph=http://example.org/conv/' || user_id,
+                   CAST(count(*) AS BIGINT)
+            FROM events GROUP BY user_id
         """,
         # stream drain (availableNow over 16 file drops, ≥2 micro-batches)
         # must emit the SAME quads as one batch extraction

@@ -111,6 +111,18 @@ def main() -> None:
     # interpretable.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
 
+    def _loadavg() -> list[float]:
+        # host weather rides the record: the co-tenanted box swings up to
+        # ~8x minute-to-minute, so a bench JSON is only interpretable next
+        # to the load the machine was under while it ran
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except OSError:
+            return []
+
+    load_start = _loadavg()
+
     def _median(v: list[float]) -> float:
         s = sorted(v)
         m = len(s) // 2
@@ -196,6 +208,8 @@ def main() -> None:
         "queries": timings,
         "queries_detail": detail,
         "trials": trials,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
         "sf": sf,
         "cpus": cpus,
         "turns": n_turns,
