@@ -123,10 +123,7 @@ def main() -> None:
 
     load_start = _loadavg()
 
-    def _median(v: list[float]) -> float:
-        s = sorted(v)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    from statistics import median as _median
 
     runs: dict[str, list[float]] = {name: [] for name in bench_names}
     rowcounts: dict[str, int] = {}

@@ -189,7 +189,15 @@ def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
     (closes the round-3 residual; ref TurtleUtils.scala:51-90).
     hybrid=False restores the pure-expression plan (\\uXXXX stays raw).
     unescape=False keeps lexical forms raw for scan-speed benches over
-    clean data (implies no hybrid split)."""
+    clean data (implies no hybrid split).
+
+    Plan-shape note: the hybrid union references the input in BOTH branches,
+    so the SOURCE subtree (file scan / generating expressions) is evaluated
+    twice — each with its rlike filter pushed toward the scan. Each line is
+    still PARSED exactly once, on exactly one branch; at scale the duplicate
+    scan is cheap relative to the regexp-extract work, and avoiding it would
+    take an eager pre-count or a persist, both worse. Callers who know their
+    corpus is escape-free can pass hybrid=False for the single-scan plan."""
     if unescape and hybrid:
         has_u = F.col(line_col).rlike(r"\\[uU]")
         fast = parse_nt_expr(lines_df.where(~has_u), line_col,

@@ -45,11 +45,16 @@ class TestHybridUnicodeParse:
     def test_hybrid_false_keeps_raw_residual(self, spark):
         from quad_processor_util_spark.functions.nt import parse_nt_expr
 
+        # a REAL \u escape (raw text 'café'): hybrid=False has no
+        # codepoint constructor and must pass the sequence through verbatim
+        # — the documented pure-JVM residual; hybrid=True must decode it
         df = spark.createDataFrame(pd.DataFrame({
-            "line": [r'<http://s> <http://p> "café" .'],
+            "line": ['<http://s> <http://p> "caf\\u00e9" .'],
         }))
-        out = parse_nt_expr(df, hybrid=False).collect()
-        assert out[0].obj == r"café"  # documented pure-JVM residual
+        raw = parse_nt_expr(df, hybrid=False).collect()
+        assert raw[0].obj == "caf\\u00e9"
+        dec = parse_nt_expr(df, hybrid=True).collect()
+        assert dec[0].obj == "café"
 
 
 class TestNaNSortedness:

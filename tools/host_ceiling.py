@@ -107,9 +107,19 @@ def main() -> None:
         hi = lo * 4
         if hi in rates:
             pairs[f"{lo}->{hi}"] = round(rates[hi] / rates[lo] / 4, 3)
+    # matched-occupancy mode (`host_ceiling.py 11 28`): the useful number is
+    # per-proc productivity retention between ADJACENT measured levels —
+    # (rate_b/b)/(rate_a/a) — since non-4:1 custom levels form no 4x pair
+    # (review finding: the advertised custom invocation previously computed
+    # nothing)
+    retention = {}
+    for a, b in zip(levels, levels[1:]):
+        retention[f"{a}->{b}"] = round(
+            (rates[b] / b) / (rates[a] / a), 3)
     print(json.dumps({
         "rows_per_sec": {str(k): round(v) for k, v in rates.items()},
         "pair_efficiency": pairs,
+        "per_proc_retention": retention,
         "cores_visible": mp.cpu_count(),
     }))
 

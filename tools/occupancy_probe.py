@@ -32,10 +32,16 @@ from scaling_bench import (  # noqa: E402
 
 def main() -> None:
     levels = [int(x) for x in sys.argv[1:]] or [8, 32]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.exists(os.path.join(PREP_DIR, "_SUCCESS")):
         print("# prepping input (repl=120)...", file=sys.stderr)
-        _run(_PREP.format(repo=REPO, sf_dir="/root/testdata/sf0.1",
+        _run(_PREP.format(repo=REPO, sf_dir=sf_dir,
                           repl=120, prep_dir=PREP_DIR))
+    else:
+        # a pre-existing prep may have been built at a different replication
+        # — throughputs are then not comparable to a fresh repl=120 run
+        print(f"# reusing existing {PREP_DIR} (delete it to re-prep at "
+              "repl=120)", file=sys.stderr)
     zip_path = _pyfiles_zip()
     child_py = os.path.join(tempfile.mkdtemp(prefix="occ_child_"), "child.py")
     with open(child_py, "w") as f:

@@ -133,20 +133,37 @@ def _cpu_and_kind(pid: int):
 
 
 class _Sampler(threading.Thread):
+    """Per-tick CPU *increments* per kind, not cumulative totals: a process
+    that exits mid-window would otherwise subtract its whole accumulated CPU
+    from a cumulative delta (negative/understated busy cores — review
+    finding). Each tick records sum over live PIDs of max(0, cpu_now -
+    cpu_prev_seen); a PID's pre-first-sighting CPU is excluded (bounded
+    undercount for processes born before sampling starts, which the warm-up
+    window covers)."""
+
     def __init__(self, root_pid: int):
         super().__init__(daemon=True)
         self.root = root_pid
+        # (tick_time, {"jvm": cpu_sec_increment, ...})
         self.samples: list[tuple[float, dict[str, float]]] = []
         self.stop_flag = False
+        self._last: dict[int, float] = {}
 
     def run(self):
         while not self.stop_flag:
-            totals = {"jvm": 0.0, "python": 0.0, "other": 0.0}
+            inc = {"jvm": 0.0, "python": 0.0, "other": 0.0}
+            seen: dict[int, float] = {}
             for pid in _descendants(self.root):
                 ck = _cpu_and_kind(pid)
-                if ck:
-                    totals[ck[1]] += ck[0]
-            self.samples.append((time.time(), totals))
+                if not ck:
+                    continue
+                cpu, kind = ck
+                seen[pid] = cpu
+                prev = self._last.get(pid)
+                if prev is not None:
+                    inc[kind] += max(0.0, cpu - prev)
+            self._last = seen
+            self.samples.append((time.time(), inc))
             time.sleep(0.5)
 
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
@@ -171,34 +188,47 @@ def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
-    proc = subprocess.Popen(
-        [SPARK_SUBMIT, "--master", f"local[{cpus}]",
-         "--conf", "spark.ui.enabled=false",
-         "--conf", f"spark.sql.shuffle.partitions={2 * cpus}",
-         "--conf", "spark.sql.session.timeZone=UTC",
-         "--conf", "spark.sql.icu.caseMappings.enabled=false",
-         "--conf", "spark.sql.files.maxPartitionBytes=1048576",
-         "--conf", "spark.sql.files.openCostInBytes=131072",
-         "--conf", "spark.driver.memory=8g",
-         "--py-files", zip_path,
-         child_py, str(cpus), PREP_DIR],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-    )
-    sampler = _Sampler(proc.pid)
-    sampler.start()
-    t_mark = None
-    result = None
-    stdout_tail: list[str] = []
-    for line in proc.stdout:
-        stdout_tail = (stdout_tail + [line])[-10:]
-        if line.startswith("MEASURE_T0"):
-            t_mark = float(line.split()[1])
-        elif line.startswith("{"):
-            result = json.loads(line)
-    stderr = proc.stderr.read()
-    rc = proc.wait()
-    sampler.stop_flag = True
-    sampler.join()
+    import tempfile
+
+    # stderr goes to a FILE, not a pipe: local-mode Spark logs can exceed
+    # the ~64 KB pipe buffer, and a parent looping on stdout while the child
+    # blocks in a full stderr write(2) is a deadlock (review finding). A
+    # watchdog restores the 3600 s backstop subprocess.run used to provide.
+    with tempfile.TemporaryFile(mode="w+t") as errf:
+        proc = subprocess.Popen(
+            [SPARK_SUBMIT, "--master", f"local[{cpus}]",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", f"spark.sql.shuffle.partitions={2 * cpus}",
+             "--conf", "spark.sql.session.timeZone=UTC",
+             "--conf", "spark.sql.icu.caseMappings.enabled=false",
+             "--conf", "spark.sql.files.maxPartitionBytes=1048576",
+             "--conf", "spark.sql.files.openCostInBytes=131072",
+             "--conf", "spark.driver.memory=8g",
+             "--py-files", zip_path,
+             child_py, str(cpus), PREP_DIR],
+            stdout=subprocess.PIPE, stderr=errf, text=True, env=env,
+        )
+        watchdog = threading.Timer(3600, proc.kill)
+        watchdog.start()
+        sampler = _Sampler(proc.pid)
+        sampler.start()
+        t_mark = None
+        result = None
+        stdout_tail: list[str] = []
+        try:
+            for line in proc.stdout:
+                stdout_tail = (stdout_tail + [line])[-10:]
+                if line.startswith("MEASURE_T0"):
+                    t_mark = float(line.split()[1])
+                elif line.startswith("{"):
+                    result = json.loads(line)
+            rc = proc.wait()
+        finally:
+            watchdog.cancel()
+            sampler.stop_flag = True
+            sampler.join()
+        errf.seek(0)
+        stderr = errf.read()
     if rc != 0:
         raise RuntimeError(stderr[-2000:])
     if result is None:
@@ -207,15 +237,17 @@ def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
         raise RuntimeError(
             f"scaling child produced no JSON result; stdout tail: "
             f"{''.join(stdout_tail)[-1000:]!r} stderr tail: {stderr[-1000:]!r}")
-    # busy-core occupancy over the measured window (cumulative-CPU deltas
-    # between the samples nearest the window edges)
+    # busy-core occupancy over the measured window: per-tick CPU increments
+    # summed across in-window ticks / window span
     if t_mark is not None:
         window = [s for s in sampler.samples
-                  if t_mark <= s[0] <= t_mark + result["sec"]]
+                  if t_mark < s[0] <= t_mark + result["sec"]]
         if len(window) >= 2:
-            (ta, a), (tb, b) = window[0], window[-1]
-            dt = tb - ta
-            occ = {k: round((b[k] - a[k]) / dt, 1) for k in a}
+            dt = window[-1][0] - window[0][0]
+            occ = {
+                k: round(sum(s[1][k] for s in window[1:]) / dt, 1)
+                for k in window[0][1]
+            }
             occ["total"] = round(sum(occ.values()), 1)
             result["busy_cores"] = occ
     return result
@@ -252,10 +284,10 @@ def main() -> None:
     # deflate the denominator and inflate the ratio — the opposite of
     # conservative (review finding). The representative trial shown in the
     # wall-sec tables is the lower-middle one.
+    from statistics import median
+
     def med_tps(ts: list[dict]) -> float:
-        v = sorted(r["turns_per_sec"] for r in ts)
-        m = len(v) // 2
-        return v[m] if len(v) % 2 else (v[m - 1] + v[m]) / 2
+        return median(r["turns_per_sec"] for r in ts)
 
     rep = lambda ts: sorted(ts, key=lambda r: r["turns_per_sec"])[(len(ts) - 1) // 2]
     meds = {c: rep(by_level[c]) for c in levels}
