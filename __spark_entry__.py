@@ -1463,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_group": _q_star_group,
         "text_metrics": _q_text_metrics,
         "cosine_topk": _q_cosine_topk,
+        "ann_recall": _q_ann_recall,
         "jaccard_pairs": _q_jaccard_pairs,
         "salted_join": _q_salted_join,
         "anti_join": _q_anti_join,
@@ -1524,6 +1525,72 @@ _PIRIS_SQL = "['" + "','".join(_DBR + p.replace(" ", "_") for p in _PEOPLE) + "'
 _OIRIS_SQL = "['" + "','".join(_DBR + o.replace(" ", "_") for o in _ORGS) + "']"
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_COSINE_TOPK_SQL = """
+            WITH sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+        """
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Recall@3 of both ANN paths vs brute force, computed END-TO-END in SQL
+    by nesting the three gate oracles (same hyperplanes, same fixed
+    centroids) — so the recall numbers themselves are oracle-checked, not
+    self-reported."""
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_COSINE_TOPK_SQL}) t),
+     lsh AS (SELECT query_id, neighbor_id FROM ({_lsh_topk_oracle_sql()}) t),
+     ivf AS (SELECT query_id, neighbor_id FROM ({_ivf_topk_oracle_sql()}) t),
+     ex_n AS (SELECT count(*) AS n FROM exact)
+SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits,
+       (SELECT CAST(n AS BIGINT) FROM ex_n) AS expected,
+       round(count(*)::DOUBLE / (SELECT n FROM ex_n), 6) AS recall
+FROM ivf JOIN exact USING (query_id, neighbor_id)
+UNION ALL
+SELECT 'lsh', CAST(count(*) AS BIGINT),
+       (SELECT CAST(n AS BIGINT) FROM ex_n),
+       round(count(*)::DOUBLE / (SELECT n FROM ex_n), 6)
+FROM lsh JOIN exact USING (query_id, neighbor_id)
+"""
+
+
+def _q_ann_recall(spark, sf_dir):
+    """ANN quality gate: recall@3 of the LSH and IVF paths against the
+    brute-force exact top-k, over the shared vec_id<10 query set. Puts a
+    NUMBER on the 'recall < 1, cost ~ bucket size' trade the ANN docstrings
+    claim; the oracle recomputes all three searches and the recall division
+    in DuckDB (see _ann_recall_oracle_sql)."""
+    from quad_processor_util_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=3).select("query_id", "neighbor_id")
+    approx = {
+        "lsh": lsh_topk(emb, queries, dim=_EMB_DIM, k=3, planes=4,
+                        tables=16).select("query_id", "neighbor_id"),
+        "ivf": ivf_topk(emb, queries, dim=_EMB_DIM, k=3, n_lists=8, nprobe=3,
+                        centroids=_ivf_gate_centroids()
+                        ).select("query_id", "neighbor_id"),
+    }
+    exact = exact.localCheckpoint(eager=False)  # 30 rows; scanned 3x
+    n_exact = exact.count()
+    rows = []
+    for name, adf in sorted(approx.items()):
+        hits = adf.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+        rows.append((name, hits, n_exact, round(hits / n_exact, 6)))
+    return spark.createDataFrame(
+        rows, "method string, hits long, expected long, recall double")
+
 
 _JACCARD_ORACLE = f"""
 WITH toks AS (
@@ -1825,20 +1892,8 @@ def oracle_sql() -> dict[str, str]:
                    md5({_NORM}) AS fp
             FROM documents
         """,
-        "cosine_topk": """
-            WITH sims AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
-              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-              WHERE q.vec_id < 10
-            ), ranked AS (
-              SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, neighbor_id) AS rank
-              FROM sims
-            )
-            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "ann_recall": _ann_recall_oracle_sql(),
         "jaccard_pairs": _JACCARD_ORACLE,
         "salted_join": """
             SELECT c_mktsegment, count(*) AS n,
