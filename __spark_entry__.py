@@ -427,6 +427,36 @@ def _q_stream_sessionize(spark, sf_dir):
     return spark.createDataFrame(final)
 
 
+def _q_table_sidecar(spark, sf_dir):
+    """File-sink + commit-metadata gate (S6, StreamSourceMetaData.scala:7-49
+    header analog — round 4 upgrades it from pytest-only): write the
+    transcripts through write_table with a row-count in the commit meta,
+    then verify BOTH surfaces — the table re-read and the sidecar's
+    recorded counter — agree with the oracle's count(events), and that an
+    empty append commit grows the snapshot-log history to length 2."""
+    import tempfile
+
+    from quad_processor_util_spark.sources.io import (
+        read_table_meta, write_table,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="sidecar_")
+    path = os.path.join(workdir, "tbl")
+    tr = _events_as_transcripts(spark, sf_dir)
+    n = tr.count()
+    write_table(tr, path, meta={"rows": n, "source": "events"})
+    # empty append commit: table content unchanged, commit HISTORY grows —
+    # the snapshot-log accumulation semantics
+    write_table(tr.limit(0), path, mode="append", meta={"rows": 0})
+    side = read_table_meta(path)
+    rows = [
+        ("table_rows", spark.read.parquet(path).count()),
+        ("first_commit_rows", int(side["commits"][0]["rows"])),
+        ("sidecar_commits", len(side["commits"])),
+    ]
+    return spark.createDataFrame(rows, "key string, value long")
+
+
 def _q_turn_rate(spark, sf_dir):
     """Watermarked windowed-aggregation gate (§2.11 turn_rate_windows — the
     LogRecorder periodic-throughput analog, previously untested): 5-minute
@@ -1478,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_metrics": _q_pipeline_metrics,
         "turn_rate": _q_turn_rate,
         "multi_sink": _q_multi_sink,
+        "table_sidecar": _q_table_sidecar,
         "mint_iri": _q_mint_iri,
         "media_features": _q_media_features,
         "uri_to_iri": _q_uri_to_iri,
@@ -1981,6 +2012,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             UNION ALL
             SELECT 'turns_in', CAST(count(*) AS BIGINT) FROM events
+        """,
+        # table re-read AND the first commit's recorded counter must both
+        # equal count(events); the empty append makes commit history = 2
+        "table_sidecar": """
+            SELECT 'table_rows' AS key, CAST(count(*) AS BIGINT) AS value
+            FROM events
+            UNION ALL
+            SELECT 'first_commit_rows', CAST(count(*) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'sidecar_commits', 2
         """,
         # drained 5-minute tumbling windows per role == batch time-bucketing
         # (windows align to the epoch; everything runs UTC)
