@@ -24,9 +24,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from ..oracle import XSD_STRING, PyQuad, format_nt_line, parse_nt_line
+from ..oracle import (
+    QUAD_FIELDS, XSD_STRING, PyQuad, format_nt_line, parse_nt_line,
+)
 
-QUAD_FIELDS = ["subject", "predicate", "obj", "datatype", "language", "graph", "dataset"]
+# Python's \s / str.isspace() set spelled out for JAVA regex character
+# classes. Java's \s is ASCII-only ([ \t\n\x0B\f\r]) and even (?U)\s
+# (Unicode White_Space) EXCLUDES \x1c-\x1f which Python includes — so any
+# JVM path mirroring the oracle's Python whitespace semantics must use this
+# explicit class, not \s (round-4 review finding: U+00A0 inside a URI made
+# format_nt_expr and format_nt_exact disagree on the bad-URI guard).
+PY_WS_CLASS = (r"\x09-\x0d\x1c-\x1f \x85\xa0  - "
+               r"    　")
 QUAD_SCHEMA = StructType([StructField(f, StringType(), True) for f in QUAD_FIELDS])
 # 5-field identity — graph/dataset excluded (ref: Quad.scala:79-93)
 QUAD_IDENTITY = ["subject", "predicate", "obj", "datatype", "language"]
@@ -204,7 +213,15 @@ def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
                              unescape=True, hybrid=False)
         slow = parse_nt_lines(lines_df.where(has_u), line_col)
         return fast.unionByName(slow)
-    c = F.col(line_col)
+    # edge trim matching the oracle's line.strip(): Python strips the FULL
+    # unicode whitespace set (\f \v \x1c-\x1f U+00A0 ...) before scanning,
+    # while _TRIPLE_RE's anchors admit only [ \t] — without this a
+    # '\f'-edged line parsed on the exact path but was silently dropped
+    # here (round-4 review finding). INTERIOR exotic whitespace stays
+    # malformed on both paths.
+    c = F.regexp_replace(
+        F.col(line_col),
+        "^[" + PY_WS_CLASS + "]+|[" + PY_WS_CLASS + "]+$", "")
     g = lambda i: F.regexp_extract(c, _TRIPLE_RE, i)  # noqa: E731
     matched = c.rlike(_TRIPLE_RE)
     uri_obj = g(3)
@@ -284,7 +301,8 @@ def format_nt_expr(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
     """
     # [^\s<>] matches oracle.is_absolute_uri exactly: a URI containing
     # '<'/'>' is BAD (would corrupt the line syntax) and must comment out
-    uri_ok = lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^\s<>]+$")  # noqa: E731
+    uri_ok = lambda c: c.rlike(  # noqa: E731
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^<>" + PY_WS_CLASS + "]+$")
     s, p, o, dt, lang, gr = (F.col(x) for x in
                              ["subject", "predicate", "obj", "datatype", "language", "graph"])
     obj_part = (
@@ -461,7 +479,8 @@ def format_trix(quads: DataFrame, quads_mode: bool = False) -> DataFrame:
     parser (whose exact error strings are JVM-internal)."""
     # [^\s<>] matches oracle.is_absolute_uri exactly: a URI containing
     # '<'/'>' is BAD (would corrupt the line syntax) and must comment out
-    uri_ok = lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^\s<>]+$")  # noqa: E731
+    uri_ok = lambda c: c.rlike(  # noqa: E731
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^<>" + PY_WS_CLASS + "]+$")
 
     def uri_el(col: Column, indent: str) -> Column:
         val = (

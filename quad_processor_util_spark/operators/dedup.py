@@ -59,13 +59,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def _size_bytes(raw: str) -> int:
+def _size_bytes(raw: str, default: int = 128 << 20) -> int:
     """Parse a Spark size conf value ('134217728b', '128m', '1g', '2t').
 
     Tolerant by design: Spark's own JavaUtils.byteStringAs accepts the full
     k/m/g/t/p suffix family and some deployments set fractional values
-    ('0.5g'); an unparseable session conf must degrade to the 128 MB
-    default, never crash the dedup constructor (round-3 advice)."""
+    ('0.5g'); an unparseable session conf must degrade to the CONF'S OWN
+    Spark default, never crash the dedup constructor (round-3 advice).
+    The default is per-call because the two confs this parses differ by
+    32× (maxPartitionBytes 128 MB vs openCostInBytes 4 MB — round-4
+    review finding)."""
     s = raw.strip().lower()
     mult = 1
     for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
@@ -80,7 +83,7 @@ def _size_bytes(raw: str) -> int:
     try:
         return int(float(s) * mult)
     except ValueError:
-        return 128 << 20
+        return default
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int:
@@ -101,9 +104,11 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
         return 0
     conf = df.sparkSession.conf
     mpb = max(1, _size_bytes(conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728b")))
+        "spark.sql.files.maxPartitionBytes", "134217728b"),
+        default=128 << 20))
     open_cost = _size_bytes(conf.get(
-        "spark.sql.files.openCostInBytes", "4194304b"))
+        "spark.sql.files.openCostInBytes", "4194304b"),
+        default=4 << 20)
     total_cost = 0
     for p in files:
         local = p[len("file:"):] if p.startswith("file:") else p
@@ -135,7 +140,13 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
             plan = df._jdf.queryExecution().analyzed().toString()
         except Exception:
             plan = ""
-        if "Repartition" in plan:
+        # match Repartition as a plan NODE header (start of a tree line,
+        # after the +-/:- connectors), not anywhere in the string — a
+        # relation or column NAMED 'Repartition' must not disable the
+        # guard (round-4 review finding)
+        import re as _re
+
+        if _re.search(r"(?m)^[\s+:\-]*Repartition(ByExpression)?[ (]", plan):
             return df
         return df.repartition(target)
     return df

@@ -133,16 +133,9 @@ def assert_sorted(df: DataFrame, key: str, order: str) -> int:
     (operators/sort.py)."""
     import pandas as pd
 
-    def _t(v):
-        # nulls-first / NaN-last total order matching Spark's (NaN > any
-        # real), without ever comparing None or NaN to a value. Same
-        # Arrow caveat as is_globally_sorted: a true SQL NULL in a float
-        # column arrives as NaN and lands in the NaN-last bucket.
-        if v is None:
-            return (0,)
-        if isinstance(v, float) and pd.isna(v):
-            return (2,)
-        return (1, v)
+    # nulls-first / NaN-last total order matching Spark's — the ONE shared
+    # definition (see sort.null_nan_key for the Arrow null/NaN caveat)
+    from .sort import null_nan_key as _t
 
     def _viol(batches):
         prev = None

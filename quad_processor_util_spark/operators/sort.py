@@ -55,30 +55,39 @@ def hot_keys(df: DataFrame, col: str, threshold_fraction: float = 0.05) -> DataF
     return counts.where(F.col("n") > total * threshold_fraction)
 
 
+def null_nan_key(v):
+    """Total-order key matching Spark's ordering: nulls FIRST (bucket 0),
+    real values (bucket 1), float NaN LAST (bucket 2 — Spark treats NaN as
+    greater than any real, unlike IEEE). Tuple buckets avoid ever comparing
+    None or NaN to a value (a null crashed the raw `v < prev` comparison —
+    round-3 review finding; a NaN inside (1, v) would poison comparisons,
+    every NaN compare being False). ONE definition shared by
+    is_globally_sorted and grouping.assert_sorted (round-4 review finding:
+    three hand-maintained copies of this invariant had already drifted
+    textually).
+
+    Known limit (documented, round-3 advice): Arrow/pandas represent a true
+    SQL NULL in a float column as NaN, so null and NaN are indistinguishable
+    executor-side — both land in the NaN-last bucket. A Spark-sorted float
+    column with genuine nulls (which Spark puts first) is therefore reported
+    unsorted; float columns mixing nulls and data need a separate
+    null-partition pass if that matters."""
+    import math
+
+    if v is None:
+        return (0,)
+    if isinstance(v, float) and math.isnan(v):
+        return (2,)
+    return (1, v)
+
+
 def is_globally_sorted(df: DataFrame, col: str) -> bool:
     """Full-scan sortedness check across partition boundaries (the
     QuadSorterTest invariant, QuadSorterTest.scala:36-54): per-partition
     monotone AND partition max <= next partition min."""
     import pandas as pd
 
-    # Total order matching Spark's: nulls FIRST (bucket 0), real values
-    # (bucket 1), float NaN LAST (bucket 2 — Spark treats NaN as greater
-    # than any real, unlike IEEE). Tuple buckets avoid ever comparing None
-    # or NaN to a value (a null crashed the raw `v < prev` comparison —
-    # round-3 review finding; a NaN inside (1, v) would poison comparisons,
-    # every NaN compare being False).
-    # Known limit (documented, round-3 advice): Arrow/pandas represent a
-    # true SQL NULL in a float column as NaN, so null and NaN are
-    # indistinguishable here — both land in the NaN-last bucket. A
-    # Spark-sorted float column with genuine nulls (which Spark puts first)
-    # is therefore reported unsorted; float columns mixing nulls and data
-    # should be checked via a separate null-partition pass if that matters.
-    def _key(v):
-        if v is None:
-            return (0,)
-        if isinstance(v, float) and pd.isna(v):
-            return (2,)
-        return (1, v)
+    _key = null_nan_key
 
     def _minmax(batches):
         from pyspark import TaskContext
@@ -113,15 +122,6 @@ def is_globally_sorted(df: DataFrame, col: str) -> bool:
     res = sorted((r for r in res if r.seen), key=lambda r: r.pid)
     if not all(r.ok for r in res):
         return False
-
-    import math
-
-    def _key(v):
-        if v is None:
-            return (0,)
-        if isinstance(v, float) and math.isnan(v):
-            return (2,)
-        return (1, v)
 
     # range partitioning puts partition i's keys before partition i+1's
     # (nulls-first, NaN-last ordering at the boundary too)

@@ -33,6 +33,14 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 DBR = "http://dbpedia.org/resource/"
 EX = "http://example.org/ontology/"
 
+# the quad table's column order — THE one definition (this module is
+# Spark-free, so both functions/nt.py and the executor-side
+# plans/extract_vec.py can import it without pulling pyspark; two
+# hand-copied lists could drift and silently misalign a mapInPandas
+# schema — round-4 review finding)
+QUAD_FIELDS = ["subject", "predicate", "obj", "datatype", "language",
+               "graph", "dataset"]
+
 # ---------------------------------------------------------------------------
 # Turtle / N-Triples escaping (ref: utils/TurtleUtils.scala:100-140)
 # ---------------------------------------------------------------------------

@@ -46,8 +46,7 @@ from ..oracle import (
     find_unknown_mentions,
     nt_unescape,
 )
-
-QUAD_FIELDS = ["subject", "predicate", "obj", "datatype", "language", "graph", "dataset"]
+from ..oracle import QUAD_FIELDS  # the one definition (Spark-free module)
 
 _TOOL_PRED = EX + "toolUsed"
 _SURF_PRED = EX + "mentionSurface"
@@ -333,7 +332,10 @@ def _extract_batch_rows(
         pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(),
         pdf["role"].to_numpy(), pdf["text"].to_numpy(), pdf["tool"].to_numpy(),
     ):
-        graph = "http://example.org/conv/" + conv_id
+        # str() matches the vectorized path's astype(str): a non-string
+        # conv_id (int64 convs) must not crash only on the \x00-fallback
+        # route (round-4 review finding)
+        graph = "http://example.org/conv/" + str(conv_id)
         ms = apply_overlap_policy(gaz.find_all(text or ""), policy)
         for q in extract_triples_from_text(text or "", gaz, graph, policy,
                                            mentions=ms):

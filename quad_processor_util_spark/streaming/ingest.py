@@ -86,7 +86,13 @@ def _sessionize_update(key, pdfs, state, gap: float):
         prev[1:] = ts[:-1]
         n_sess += int(((ts - prev) > gap).sum())
         n_turns += int(len(ts))
-        last_ts = float(ts[-1])
+        # monotone high-water mark: a LATE trigger (file-source drops are
+        # not event-time ordered) whose max ts precedes the stored last_ts
+        # must not regress the state — otherwise the next on-time trigger
+        # measures its gap from the stale older timestamp and over-counts
+        # sessions (round-4 review finding)
+        last_ts = float(ts[-1]) if last_ts is None \
+            else max(last_ts, float(ts[-1]))
     state.update((last_ts, int(n_sess), int(n_turns)))
     yield pd.DataFrame(
         {"conv_id": [key[0]], "n_sessions": [n_sess], "n_turns": [n_turns]}

@@ -147,3 +147,119 @@ class TestScopedCacheRelease:
         for d in reg:
             d.unpersist()
         assert not reg[0].is_cached
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class TestReviewFixes:
+    def test_sessionize_late_trigger_does_not_regress_watermark(self):
+        """A LATE trigger (max ts older than stored last_ts) must keep the
+        high-water mark: {1000} then late {100} then {1550} with gap 600 —
+        1550-1000=550 < gap, so NO new session (r4 review finding: the old
+        code reset last_ts to 100 and over-counted)."""
+        import pandas as pd
+
+        from quad_processor_util_spark.streaming.ingest import (
+            _sessionize_update,
+        )
+
+        st = _FakeGroupState()
+
+        def push(ts_seconds):
+            pdf = pd.DataFrame(
+                {"ts": [pd.Timestamp(t, unit="s") for t in ts_seconds]})
+            return list(_sessionize_update(("c",), iter([pdf]), st,
+                                           gap=600.0))[0]
+
+        push([1000])
+        push([100])           # late data: no new session, watermark stays
+        out = push([1550])
+        assert st.get[0] == 1550.0
+        assert out.n_sessions.iloc[0] == 1  # one session: 100/1000/1550 merged
+        assert out.n_turns.iloc[0] == 3
+
+    def test_format_paths_agree_on_unicode_whitespace_uri(self, spark):
+        """U+00A0 inside a URI: Python \\S rejects it (bad URI, line
+        commented out); the JVM guard previously used Java's ASCII \\s and
+        emitted an invalid uncommented line (r4 review finding)."""
+        from quad_processor_util_spark.functions.nt import (
+            format_nt_exact, format_nt_expr,
+        )
+
+        rows = [("http://ex.org/a b", "http://p/x", "http://o/y",
+                 None, None, None, None),
+                ("http://ex.org/ok", "http://p/x", "http://o/y",
+                 None, None, None, None)]
+        schema = ("subject string, predicate string, obj string, "
+                  "datatype string, language string, graph string, "
+                  "dataset string")
+        df = spark.createDataFrame(rows, schema)
+        jvm = sorted(r.line for r in format_nt_expr(df).collect())
+        exact = sorted(r.line for r in format_nt_exact(df).collect())
+        assert jvm == exact
+        assert sum(1 for x in jvm if x.startswith("# ")) == 1
+
+    def test_parse_paths_agree_on_exotic_edge_whitespace(self, spark):
+        """\\f / U+00A0 at line EDGES are stripped by the oracle
+        (line.strip()) — the JVM path now trims the same set before its
+        [ \\t]-anchored regex; interior exotic whitespace stays malformed
+        on both paths (r4 review finding)."""
+        import pandas as pd
+
+        from quad_processor_util_spark.functions.nt import (
+            parse_nt_expr, parse_nt_lines,
+        )
+
+        lines = [
+            "\f<http://s> <http://p> <http://o> .",
+            "<http://s> <http://p> <http://o2> . ",
+            " <http://s> <http://p> <http://o3> .\f",
+            "<http://s>\f<http://p> <http://o4> .",   # interior: bad on both
+        ]
+        df = spark.createDataFrame(pd.DataFrame({"line": lines}))
+        cols = ["subject", "predicate", "obj", "datatype", "language",
+                "graph"]
+        fast = sorted(tuple(r) for r in
+                      parse_nt_expr(df).select(*cols).collect())
+        exact = sorted(tuple(r) for r in
+                       parse_nt_lines(df).select(*cols).collect())
+        assert fast == exact
+        assert len(fast) == 3
+
+    def test_fallback_row_path_handles_int_conv_id(self):
+        """The \\x00-fallback extraction path must coerce conv_id to str
+        like the vectorized path's astype(str) (r4 review finding)."""
+        import numpy as np
+        import pandas as pd
+
+        from quad_processor_util_spark.oracle import Gazetteer
+        from quad_processor_util_spark.plans.extract_vec import (
+            _extract_batch_rows,
+        )
+
+        pdf = pd.DataFrame({
+            "conv_id": np.array([7], dtype="int64"),
+            "turn_idx": np.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["Ada Lovelace works at Turing Institute.\x00"],
+            "tool": [None],
+        })
+        gaz = Gazetteer({"Ada Lovelace": "http://e/ada",
+                         "Turing Institute": "http://e/ti"})
+        out = _extract_batch_rows(pdf, gaz, "LONGEST_DOMINANT_RIGHT", False)
+        assert len(out) >= 1
+        assert out["graph"].iloc[0] == "http://example.org/conv/7"
