@@ -62,9 +62,10 @@ def entry(spark: SparkSession) -> DataFrame:
     the clustering stable_order would re-create; re-shuffling it is a wasted
     pass (the same zero-shuffle fast path an Iceberg bucket(conv_id)+sorted
     layout gets)."""
-    tr = _events_as_transcripts(spark, SF_DEFAULT)
-    quads = extract_quads(tr, _GAZ, assume_bucketed=True)
-    return quads.select("subject", "predicate", "obj", "graph").distinct()
+    # delegate to the gated flagship query — ONE definition, so entry()
+    # and the extract_kg correctness gate can never silently run different
+    # jobs (round-4 review finding)
+    return _q_extract_kg(spark, SF_DEFAULT)
 
 
 # ---------------------------------------------------------------------------
@@ -190,8 +191,14 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_jaccard_pairs(spark, sf_dir):
+    # max_shingle_df effectively unbounded: the oracle replays UNCAPPED
+    # all-pairs Jaccard, and the production default (1000) changes both the
+    # candidate set and the set sizes once a shingle goes hot — a
+    # data-dependent divergence that would only surface at larger sf
+    # (round-4 review finding). The cap itself is pytest-covered.
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).select(
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5,
+                               max_shingle_df=1 << 31).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -443,6 +450,11 @@ def _q_table_sidecar(spark, sf_dir):
     workdir = tempfile.mkdtemp(prefix="sidecar_")
     path = os.path.join(workdir, "tbl")
     tr = _events_as_transcripts(spark, sf_dir)
+    # deliberate extra pass: the count must land INSIDE the commit's meta,
+    # which write_table serializes before its write triggers any
+    # observation — production counter-riding-the-job is pipeline_metrics'
+    # gate (observe()) and run_checkpointed's ledger; this gate checks the
+    # sidecar CONTENT, and two passes over sf0.01 is fine for a gate
     n = tr.count()
     write_table(tr, path, meta={"rows": n, "source": "events"})
     # empty append commit: table content unchanged, commit HISTORY grows —
@@ -1184,8 +1196,14 @@ def _q_codepoint_order(spark, sf_dir):
     UTF-8 order of its text — Spark UTF8_BINARY == DuckDB BINARY collation ==
     code-point order, incl. astral planes. Verifies the comparator the
     global sort (operators/sort.py) relies on."""
+    # Explicit NULLS-LAST: Spark's ASC default is nulls-FIRST, DuckDB's is
+    # nulls-LAST — with any null text the ranks would shift by one (round-4
+    # review finding; current test data has no nulls, but the gate must not
+    # depend on that). Unpartitioned window = one task by design: this is a
+    # COMPARATOR-parity gate over a bounded table, not the scale sort path
+    # (that's operators/sort.py's range-partitioned sort).
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("text", "doc_id")
+    w = Window.orderBy(F.asc_nulls_last("text"), F.asc_nulls_last("doc_id"))
     return docs.select("doc_id", F.row_number().over(w).alias("rn"))
 
 
@@ -1554,6 +1572,17 @@ _PEOPLE_SQL = "['" + "','".join(_PEOPLE) + "']"
 _ORGS_SQL = "['" + "','".join(_ORGS) + "']"
 _PIRIS_SQL = "['" + "','".join(_DBR + p.replace(" ", "_") for p in _PEOPLE) + "']"
 _OIRIS_SQL = "['" + "','".join(_DBR + o.replace(" ", "_") for o in _ORGS) + "']"
+
+# THE worksAt extraction oracle — one definition for the six oracles that
+# replay it (extract_kg, extract_kg_shuffled, resume_pipeline,
+# stream_extract, and the q CTEs of pipeline_e2e/pipeline_full): a change
+# to the person/org index arithmetic or the graph IRI now cannot silently
+# leave a stale copy behind (round-4 review finding)
+_EXTRACT_CORE_SQL = f"""SELECT {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
+                   'http://example.org/ontology/worksAt' AS predicate,
+                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
+                   'http://example.org/conv/' || user_id AS graph
+            FROM events"""
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -1987,23 +2016,13 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "extract_kg": f"""
-            SELECT DISTINCT
-                   {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
-                   'http://example.org/ontology/worksAt' AS predicate,
-                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
-                   'http://example.org/conv/' || user_id AS graph
-            FROM events
+            SELECT DISTINCT * FROM ({_EXTRACT_CORE_SQL}) core
         """,
         # crash-after-3-buckets + resume must equal ONE uninterrupted run:
         # same full-extraction SQL as extract_kg (the query itself asserts
         # the resumed run touched only the 5 missing buckets)
         "resume_pipeline": f"""
-            SELECT DISTINCT
-                   {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
-                   'http://example.org/ontology/worksAt' AS predicate,
-                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
-                   'http://example.org/conv/' || user_id AS graph
-            FROM events
+            SELECT DISTINCT * FROM ({_EXTRACT_CORE_SQL}) core
         """,
         # observe()-counters riding the extraction job: one quad per turn
         # pre-dedup, so both counters equal count(events)
@@ -2044,12 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         # stream drain (availableNow over 16 file drops, ≥2 micro-batches)
         # must emit the SAME quads as one batch extraction
         "stream_extract": f"""
-            SELECT DISTINCT
-                   {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
-                   'http://example.org/ontology/worksAt' AS predicate,
-                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
-                   'http://example.org/conv/' || user_id AS graph
-            FROM events
+            SELECT DISTINCT * FROM ({_EXTRACT_CORE_SQL}) core
         """,
         # the stateful operator's FINAL per-conversation state after the
         # stream drains == the batch 30-minute-gap sessionization
@@ -2071,12 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         # same quads whether extraction ran on the bucketed fast path or
         # through stable_order's explicit repartition + secondary sort
         "extract_kg_shuffled": f"""
-            SELECT DISTINCT
-                   {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
-                   'http://example.org/ontology/worksAt' AS predicate,
-                   {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
-                   'http://example.org/conv/' || user_id AS graph
-            FROM events
+            SELECT DISTINCT * FROM ({_EXTRACT_CORE_SQL}) core
         """,
         "mint_iri": _mint_iri_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
@@ -2175,11 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         # (canonical = component-min IRI), inlined as CASE rewrites
         "pipeline_e2e": f"""
             WITH q AS (
-              SELECT {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
-                     'http://example.org/ontology/worksAt' AS predicate,
-                     {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
-                     'http://example.org/conv/' || user_id AS graph
-              FROM events
+              SELECT * FROM ({_EXTRACT_CORE_SQL}) core
             )
             SELECT DISTINCT
                    CASE subject WHEN '{_DBR}Ada_Lovelace'
@@ -2222,11 +2227,7 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE jaccard >= 0.4
               ORDER BY score DESC, entity_iri LIMIT 1
             ), q AS (
-              SELECT {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
-                     'http://example.org/ontology/worksAt' AS predicate,
-                     {_OIRIS_SQL}[((event_id % 16) // 4 + 1)::INT] AS obj,
-                     'http://example.org/conv/' || user_id AS graph
-              FROM events
+              SELECT * FROM ({_EXTRACT_CORE_SQL}) core
             ), works AS (
               SELECT DISTINCT
                      CASE subject WHEN '{_DBR}Ada_Lovelace'
