@@ -121,6 +121,29 @@ def main() -> None:
         except OSError:
             return []
 
+    # Loadavg-gated trial starts (round-4 verdict item 1b): a trial pass
+    # that starts while a co-tenant burst is in flight records phantom
+    # regressions (r4's shipped window ran at loadavg 3.2->8.1 and looked
+    # 4x slower than the same code in a calm minute). Before each trial
+    # pass, wait — bounded — for the 1-min loadavg to drop below the
+    # threshold; record every deferral so the artifact says whether the
+    # gate ever had to engage. The wait is capped so a persistently busy
+    # host still yields an artifact (flagged by deferrals + loadavg_end).
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "2.5"))
+    gate_wait_cap = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "120"))
+    deferrals: list[dict] = []
+
+    def _await_calm(label: str) -> None:
+        waited = 0.0
+        la = _loadavg()
+        while la and la[0] > load_gate and waited < gate_wait_cap:
+            time.sleep(10.0)
+            waited += 10.0
+            la = _loadavg()
+        if waited:
+            deferrals.append({"at": label, "waited_sec": waited,
+                              "loadavg_after": la[0] if la else None})
+
     load_start = _loadavg()
 
     from statistics import median as _median
@@ -128,6 +151,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {name: [] for name in bench_names}
     rowcounts: dict[str, int] = {}
     for t in range(trials):
+        _await_calm(f"trial_{t}")
         for name in bench_names:
             fn = qs[name]
             t0 = time.time()
@@ -179,7 +203,8 @@ def main() -> None:
         big = spark.read.parquet(rep_dir)
         n_turns = big.count()
         ext_runs: list[float] = []
-        for _ in range(trials):
+        for t in range(trials):
+            _await_calm(f"flagship_{t}")
             t0 = time.time()
             (extract_quads(big, _GAZ)
              .select("subject", "predicate", "obj", "graph")
@@ -201,15 +226,42 @@ def main() -> None:
         shutil.rmtree(rep_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    load_end = _loadavg()
+
+    # Per-trial min/max spread + deferral log go to a SIDE FILE, not the
+    # printed line: round 4's queries_detail block made the one JSON line
+    # outgrow the driver's tail capture and BENCH_r04.json landed with
+    # "parsed": null. The printed line must stay compact and parseable.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "bench_detail.json"),
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump({
+                "queries_detail": detail,
+                "trials": trials,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
+                "load_gate": load_gate,
+                "deferrals": deferrals,
+                "sf": sf,
+                "cpus": cpus,
+            }, f, indent=1)
+    except OSError as e:
+        print(f"# WARN detail sidecar not written: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_detail": detail,
         "trials": trials,
         "loadavg_start": load_start,
-        "loadavg_end": _loadavg(),
+        "loadavg_end": load_end,
+        "deferrals": len(deferrals),
         "sf": sf,
         "cpus": cpus,
         "turns": n_turns,

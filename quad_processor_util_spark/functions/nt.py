@@ -185,7 +185,8 @@ def _unescape_expr(col: Column) -> Column:
 
 
 def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
-                  unescape: bool = True, hybrid: bool = True) -> DataFrame:
+                  unescape: bool = True, hybrid: bool = True,
+                  consistent: bool = False) -> DataFrame:
     """Catalyst parse (regexp_extract chain) with a hybrid escape route.
 
     Literal lexical forms get the simple-escape unescape chain
@@ -206,8 +207,33 @@ def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
     still PARSED exactly once, on exactly one branch; at scale the duplicate
     scan is cheap relative to the regexp-extract work, and avoiding it would
     take an eager pre-count or a persist, both worse. Callers who know their
-    corpus is escape-free can pass hybrid=False for the single-scan plan."""
+    corpus is escape-free can pass hybrid=False for the single-scan plan.
+
+    The double scan assumes the source is DETERMINISTIC: with a
+    non-deterministic upstream (rand()-generated lines, a directory whose
+    files change between the two scans) rows can be dropped or duplicated
+    across the rlike split. ``consistent=True`` localCheckpoints the input
+    first so both branches read one pinned computation (costs a
+    materialization; round-4 advice); without it, a source whose plan shows
+    a known non-deterministic generator gets a loud warning."""
     if unescape and hybrid:
+        if consistent:
+            lines_df = lines_df.localCheckpoint(eager=False)
+        else:
+            try:
+                plan = lines_df._jdf.queryExecution().analyzed().toString()
+            except Exception:
+                plan = ""
+            if re.search(r"\b(rand|randn|uuid|shuffle|random|"
+                         r"monotonically_increasing_id)\(", plan):
+                import warnings
+
+                warnings.warn(
+                    "parse_nt_expr(hybrid=True) scans its source twice; the "
+                    "input plan contains a non-deterministic generator, so "
+                    "rows may drop/duplicate across the split. Pass "
+                    "consistent=True to pin the input first.",
+                    RuntimeWarning, stacklevel=2)
         has_u = F.col(line_col).rlike(r"\\[uU]")
         fast = parse_nt_expr(lines_df.where(~has_u), line_col,
                              unescape=True, hybrid=False)

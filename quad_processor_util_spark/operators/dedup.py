@@ -68,7 +68,9 @@ def _size_bytes(raw: str, default: int = 128 << 20) -> int:
     Spark default, never crash the dedup constructor (round-3 advice).
     The default is per-call because the two confs this parses differ by
     32× (maxPartitionBytes 128 MB vs openCostInBytes 4 MB — round-4
-    review finding)."""
+    review finding). A negative conf ('-1m') clamps to 0: sizes are
+    magnitudes, and a negative open_cost would UNDERSTATE the partition
+    estimate and trigger a needless repartition (round-4 advice)."""
     s = raw.strip().lower()
     mult = 1
     for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
@@ -81,7 +83,7 @@ def _size_bytes(raw: str, default: int = 128 << 20) -> int:
             mult = m
             break
     try:
-        return int(float(s) * mult)
+        return max(0, int(float(s) * mult))
     except ValueError:
         return default
 
@@ -131,9 +133,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     The estimate is file-metadata-only, so an input the caller already
     repartitioned wide from a few small files would look too-coarse and pay
     a second redundant shuffle (round-3 advice). Guard: if the analyzed plan
-    already contains an explicit Repartition/RepartitionByExpression, trust
-    the caller's partitioning and skip the re-spread (a caller who
-    coalesce(1)'d asked for narrowness on purpose; we honor that too)."""
+    contains an explicit Repartition/RepartitionByExpression IN ITS ROOT
+    REGION — above the first width-changing operator — trust the caller's
+    partitioning and skip the re-spread (a caller who coalesce(1)'d asked
+    for narrowness on purpose; we honor that too). The scope matters: a
+    repartition buried BELOW an aggregation/join no longer governs the
+    frame's width (AQE may have coalesced the downstream exchange to a few
+    partitions), so matching it anywhere in the plan would skip a re-spread
+    the frame actually needs (round-4 advice). Plan-text scoping is used
+    instead of df.rdd.getNumPartitions() deliberately: materializing the
+    RDD under AQE compiles the physical plan and can execute upstream
+    stages from a constructor."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     if _estimated_scan_partitions(df) < max(2, target // 2):
         try:
@@ -143,11 +153,21 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         # match Repartition as a plan NODE header (start of a tree line,
         # after the +-/:- connectors), not anywhere in the string — a
         # relation or column NAMED 'Repartition' must not disable the
-        # guard (round-4 review finding)
+        # guard (round-4 review finding) — and only in the root region:
+        # scanning top-down, stop at the first operator that re-derives
+        # the frame's partition count (aggregate, join, window, distinct,
+        # global sort/limit) since anything under it no longer sets width
         import re as _re
 
-        if _re.search(r"(?m)^[\s+:\-]*Repartition(ByExpression)?[ (]", plan):
-            return df
+        _repart = _re.compile(r"^[\s+:\-]*Repartition(ByExpression)?[ (]")
+        _width = _re.compile(
+            r"^[\s+:\-]*(Aggregate|Join|Window|Deduplicate|Distinct"
+            r"|GlobalLimit|Sort|Intersect|Except)[ (]")
+        for line in plan.splitlines():
+            if _repart.match(line):
+                return df
+            if _width.match(line):
+                break
         return df.repartition(target)
     return df
 
