@@ -218,7 +218,13 @@ def parse_nt_expr(lines_df: DataFrame, line_col: str = "line",
     a known non-deterministic generator gets a loud warning."""
     if unescape and hybrid:
         if consistent:
-            lines_df = lines_df.localCheckpoint(eager=False)
+            # eager: a LAZY checkpoint would materialize during the union
+            # job itself, where two executors can each independently compute
+            # a partition of a non-deterministic source (no cross-executor
+            # block dedup) — the branches would still diverge. Paying the
+            # materialization up front is the whole point of the flag
+            # (round-5 review finding).
+            lines_df = lines_df.localCheckpoint(eager=True)
         else:
             try:
                 plan = lines_df._jdf.queryExecution().analyzed().toString()

@@ -156,13 +156,21 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         # guard (round-4 review finding) — and only in the root region:
         # scanning top-down, stop at the first operator that re-derives
         # the frame's partition count (aggregate, join, window, distinct,
-        # global sort/limit) since anything under it no longer sets width
+        # global sort/limit) since anything under it no longer sets width.
+        # Node-name matches accept end-of-line too: a bare `Distinct` line
+        # has no trailing space/paren (round-5 review finding, live-plan
+        # confirmed). Sort is width-changing ONLY when global — the
+        # analyzed node prints `Sort [exprs], true` for a global sort and
+        # `, false` for sortWithinPartitions, which PRESERVES the caller's
+        # explicit repartition width (the repo's own stable_order pattern)
+        # and must not end the root region (round-5 review finding).
         import re as _re
 
-        _repart = _re.compile(r"^[\s+:\-]*Repartition(ByExpression)?[ (]")
+        _repart = _re.compile(r"^[\s+:\-]*Repartition(ByExpression)?([ (]|$)")
         _width = _re.compile(
-            r"^[\s+:\-]*(Aggregate|Join|Window|Deduplicate|Distinct"
-            r"|GlobalLimit|Sort|Intersect|Except)[ (]")
+            r"^[\s+:\-]*(?:(?:Aggregate|Join|Window|Deduplicate|Distinct"
+            r"|GlobalLimit|Intersect|Except)(?:[ (]|$)"
+            r"|Sort \[.*\], true)")
         for line in plan.splitlines():
             if _repart.match(line):
                 return df

@@ -63,6 +63,42 @@ class Ledger:
             f.write(json.dumps(rec, sort_keys=True) + "\n")
 
 
+def write_bucketed_transcripts(
+    transcripts: DataFrame,
+    path: str,
+    n_buckets: int = 8,
+    conv_col: str = "conv_id",
+    bucket_col: str = "bucket",
+) -> None:
+    """Lay the transcript table out partitioned by the resume bucket —
+    the 'bucket-partitioned at rest' input run_checkpointed wants.
+
+    Without this layout, each of the B per-bucket filters re-scans the
+    whole table (B× read amplification — the docstring caveat below);
+    with it, `WHERE bucket = b` is a PARTITION filter and each bucket
+    job reads exactly its own files (PartitionFilters in the scan node,
+    see PLANS.md 'resumed bucket'). The Iceberg analog is a
+    `bucket(n_buckets, conv_id)` partition-spec transform — this is the
+    plain-parquet spelling of the same layout. One shuffle on the bucket
+    id groups each partition's rows into one writer task so the layout
+    lands as B directories of one file each, not B×tasks fragments. Rows
+    inside each bucket are sorted by (conv_col, turn_idx) so the layout
+    satisfies extract_quads(assume_bucketed=True)'s contract — clustered
+    by conv_id, turn-ordered at rest — exactly like the Iceberg
+    `bucket(N, conv_id)` spec + `sort_order(turn_idx)` sorted write it
+    mirrors (round-5 review finding: without the sort, a green per-turn
+    gate would mask breakage of any future order-sensitive extraction)."""
+    (
+        transcripts
+        .withColumn(bucket_col, bucket_expr(conv_col, n_buckets))
+        .repartition(n_buckets, F.col(bucket_col))
+        .sortWithinPartitions(conv_col, "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy(bucket_col)
+        .parquet(path)
+    )
+
+
 def run_checkpointed(
     transcripts: DataFrame,
     process: Callable[[DataFrame], DataFrame],
@@ -70,6 +106,7 @@ def run_checkpointed(
     ledger_path: str,
     n_buckets: int = 8,
     conv_col: str = "conv_id",
+    bucket_col: str | None = None,
 ) -> dict[int, dict]:
     """Process the transcript table bucket-by-bucket with resume.
 
@@ -81,6 +118,16 @@ def run_checkpointed(
     matter (conversations never span buckets, so graph-scoped quads cannot
     collide; only identical cross-conversation triples can).
     Returns the full ledger state.
+
+    `bucket_col`: name of an AT-REST bucket partition column written by
+    write_bucketed_transcripts (same n_buckets/conv_col — the caller owns
+    that contract, exactly as an Iceberg reader owns matching the table's
+    partition spec). When set, the per-bucket filter targets the partition
+    column, so Spark prunes to that bucket's files instead of scanning the
+    whole table B times; the column is dropped before `process` sees the
+    frame. When None (default), the bucket id is computed on the fly and
+    every bucket job scans the full input (fine for one-shot jobs; the
+    at-rest layout is the 100 TB path).
 
     Counters ride the write itself via df.observe() — ONE job, ONE scan of
     the input per bucket (the reference's LogRecorder counters accumulate
@@ -99,11 +146,38 @@ def run_checkpointed(
                 f"refusing to resume with n_buckets={n_buckets}/"
                 f"conv_col={conv_col!r}"
             )
-    with_bucket = transcripts.withColumn("__bucket", bucket_expr(conv_col, n_buckets))
+    if bucket_col is not None:
+        if bucket_col not in transcripts.columns:
+            raise ValueError(
+                f"bucket_col={bucket_col!r} not in input columns "
+                f"{transcripts.columns}; write the layout with "
+                f"write_bucketed_transcripts first")
+        # a layout bucketed with MORE buckets than this run processes would
+        # silently drop every row with bucket >= n_buckets (the loop never
+        # filters for them, the ledger still completes cleanly — round-5
+        # review finding). One limit(1) probe; on a partition-column layout
+        # it prunes to the offending partitions' footers, near-free.
+        stray = (
+            transcripts
+            .where((F.col(bucket_col) >= n_buckets) | (F.col(bucket_col) < 0))
+            .limit(1).count()
+        )
+        if stray:
+            raise ValueError(
+                f"input has {bucket_col} values outside [0, {n_buckets}); "
+                f"the at-rest layout was bucketed differently — rerun "
+                f"write_bucketed_transcripts with n_buckets={n_buckets} or "
+                f"pass the layout's own bucket count")
+        with_bucket = transcripts
+        _bc = bucket_col
+    else:
+        with_bucket = transcripts.withColumn(
+            "__bucket", bucket_expr(conv_col, n_buckets))
+        _bc = "__bucket"
     for b in range(n_buckets):
         if b in done:
             continue
-        sub = with_bucket.where(F.col("__bucket") == b).drop("__bucket")
+        sub = with_bucket.where(F.col(_bc) == b).drop(_bc)
         obs_in = Observation()
         sub = sub.observe(obs_in, F.count(F.lit(1)).alias("turns_in"))
         result = process(sub)

@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # best variant of the round-5 Arrow-transport probe at local[32]
+        # (BENCH/CEILING.md): median 1.02M vs 916k turns/s over base in the
+        # interleaved 3-trial window, and the best widening retention in
+        # the paired 8->32 run (0.70 vs 0.63). Frees Arrow buffers during
+        # toPandas conversion; no semantic effect.
+        .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled",
+                "true")
         # JVM (not ICU) case mapping for UTF8_BINARY lower/upper: identical
         # on ASCII, and skips CollationAwareUTF8String's one-time ICU
         # title-case table build (~60s of CPU on first lower() per JVM)

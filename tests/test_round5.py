@@ -1,0 +1,201 @@
+"""Round-5 additions: composing two pipelines with scoped cache release,
+the bucket-partitioned-at-rest resume input (partition pruning instead of
+B× full scans), and regressions for the round-4 advice fixes."""
+
+import os
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from quad_processor_util_spark.datagen import (
+    build_alias_edges,
+    build_entity_catalog,
+)
+from quad_processor_util_spark.plans.checkpoint import (
+    run_checkpointed,
+    write_bucketed_transcripts,
+)
+from quad_processor_util_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe_data(spark, fixtures_dir):
+    transcripts = spark.read.parquet(
+        os.path.join(fixtures_dir, "transcripts.parquet"))
+    catalog = build_entity_catalog()
+    edges = spark.createDataFrame(build_alias_edges(42))
+    return transcripts, catalog, edges
+
+
+def _cache_manager_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_compose_two_pipelines_scoped_cache_release(spark, pipe_data):
+    """Two fuzzy-link pipelines in one session, each releasing ONLY its own
+    cache via cache_registry (round-4 verdict item 6): after each run's
+    final action + registry unpersist, the CacheManager is empty again and
+    the second run's results equal the first's — scoped release neither
+    leaks entries nor poisons a later structurally-identical plan."""
+    transcripts, catalog, edges = pipe_data
+    spark.catalog.clearCache()  # other module tests may have left entries
+    assert _cache_manager_empty(spark)
+    results = []
+    for _ in range(2):
+        registry = []
+        final = run_pipeline(spark, transcripts, catalog, edges,
+                             fuzzy_link=True, cache_registry=registry)
+        rows = frozenset(
+            (r.subject, r.predicate, r.obj, r.datatype, r.language)
+            for r in final.collect())
+        assert registry, "fuzzy_link=True must register its persisted split"
+        assert not _cache_manager_empty(spark), \
+            "the linking split should be cached during the run"
+        for df in registry:
+            df.unpersist()
+        assert _cache_manager_empty(spark), \
+            "registry unpersist must evict exactly this pipeline's cache"
+        results.append(rows)
+    assert results[0] == results[1]
+    assert len(results[0]) > 100
+
+
+def test_resume_on_bucketed_layout_prunes_and_matches(spark, pipe_data,
+                                                      tmp_path):
+    """run_checkpointed over a write_bucketed_transcripts layout: the
+    per-bucket filter hits the PARTITION column (scan reads only that
+    bucket's files — verdict item 7), and the combined output equals the
+    compute-bucket-on-the-fly path's."""
+    transcripts, catalog, edges = pipe_data
+    n_buckets = 4
+    layout = str(tmp_path / "bucketed")
+    write_bucketed_transcripts(transcripts, layout, n_buckets=n_buckets)
+    at_rest = spark.read.parquet(layout)
+
+    # partition layout on disk: one directory per bucket
+    dirs = sorted(d for d in os.listdir(layout) if d.startswith("bucket="))
+    assert dirs == [f"bucket={b}" for b in range(n_buckets)]
+
+    # the bucket predicate lands as a PARTITION filter in the scan node
+    # (inputFiles() lists the relation's files pre-pruning, so the plan is
+    # the observable); selected-partition row parity double-checks it
+    one = at_rest.where(F.col("bucket") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    only_files = spark.read.parquet(os.path.join(layout, "bucket=2"))
+    assert one.count() == only_files.count() > 0
+
+    def _proc(df):
+        return df.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum(F.length("text")).alias("chars"))
+
+    out_a = str(tmp_path / "out_pruned")
+    led_a = str(tmp_path / "ledger_pruned.jsonl")
+    run_checkpointed(at_rest, _proc, out_a, led_a,
+                     n_buckets=n_buckets, bucket_col="bucket")
+
+    out_b = str(tmp_path / "out_fly")
+    led_b = str(tmp_path / "ledger_fly.jsonl")
+    run_checkpointed(transcripts, _proc, out_b, led_b, n_buckets=n_buckets)
+
+    rows_a = sorted(map(tuple, spark.read.parquet(out_a)
+                        .select("conv_id", "turns", "chars").collect()))
+    rows_b = sorted(map(tuple, spark.read.parquet(out_b)
+                        .select("conv_id", "turns", "chars").collect()))
+    assert rows_a == rows_b and rows_a
+
+
+def test_run_checkpointed_rejects_missing_bucket_col(spark, pipe_data,
+                                                     tmp_path):
+    transcripts, *_ = pipe_data
+    with pytest.raises(ValueError, match="bucket_col"):
+        run_checkpointed(transcripts, lambda df: df,
+                         str(tmp_path / "o"), str(tmp_path / "l.jsonl"),
+                         bucket_col="nope")
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_size_bytes_negative_conf_clamps_to_zero():
+    from quad_processor_util_spark.operators.dedup import _size_bytes
+
+    assert _size_bytes("-1m") == 0
+    assert _size_bytes("-0.5g") == 0
+    assert _size_bytes("128m") == 128 << 20
+    assert _size_bytes("garbage", default=42) == 42
+
+
+def test_repartition_guard_scoped_to_plan_root(spark, tmp_path):
+    """A Repartition BELOW a width-collapsing aggregate no longer governs
+    the frame's width, so the guard must NOT skip the re-spread for it;
+    a root-region repartition (the caller's explicit choice) still does."""
+    from quad_processor_util_spark.operators.dedup import _ensure_parallelism
+
+    p = str(tmp_path / "tiny")
+    spark.range(100).withColumn("k", F.col("id") % 10).write.parquet(p)
+    tiny = spark.read.parquet(p)  # single tiny file -> too-coarse estimate
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # repartition at the ROOT: trusted, frame returned as-is
+    rooted = tiny.repartition(3)
+    assert _ensure_parallelism(rooted) is rooted
+
+    # repartition + sortWithinPartitions (the repo's own stable_order
+    # pattern): partition-preserving Sort [..., false] must NOT end the
+    # root region — the caller's width is still in force
+    sorted_rooted = tiny.repartition(3, "k").sortWithinPartitions("k", "id")
+    assert _ensure_parallelism(sorted_rooted) is sorted_rooted
+
+    # a GLOBAL sort re-derives width: the repartition under it is stale
+    global_sorted = tiny.repartition(3).orderBy("id")
+    assert _ensure_parallelism(global_sorted) is not global_sorted
+
+    # repartition BURIED under an aggregate: must still re-spread
+    buried = tiny.repartition(3).groupBy("k").agg(F.count("*").alias("n"))
+    spread = _ensure_parallelism(buried)
+    assert spread is not buried
+    plan = spread._jdf.queryExecution().analyzed().toString()
+    assert plan.splitlines()[0].startswith("Repartition")
+    assert f"{target}" in plan.splitlines()[0]
+
+    # bare `Distinct` node (SQL SELECT DISTINCT prints it with no trailing
+    # space/paren) is width-collapsing too: the buried repartition below it
+    # must not be trusted
+    tiny.createOrReplaceTempView("t5_guard_v")
+    distinct_buried = spark.sql(
+        "select distinct k from (select k from t5_guard_v distribute by k)")
+    dplan = distinct_buried._jdf.queryExecution().analyzed().toString()
+    if "RepartitionByExpression" in dplan:  # plan shape as expected
+        assert _ensure_parallelism(distinct_buried) is not distinct_buried
+
+
+def test_parse_nt_expr_warns_on_nondeterministic_source(spark):
+    from quad_processor_util_spark.functions.nt import parse_nt_expr
+
+    nondet = spark.range(10).select(
+        F.concat(F.lit('<http://a> <http://b> "'),
+                 F.round(F.rand(7), 6).cast("string"),
+                 F.lit('" .')).alias("line"))
+    with pytest.warns(RuntimeWarning, match="non-deterministic"):
+        parse_nt_expr(nondet)
+
+    # consistent=True pins the input: no warning, and the split is exact —
+    # every generated line lands on exactly one branch
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        parsed = parse_nt_expr(nondet, consistent=True)
+    assert parsed.count() == 10
+
+    # deterministic sources stay warning-free
+    det = spark.createDataFrame(
+        [('<http://a> <http://b> "x\\u00e9" .',)], "line string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = parse_nt_expr(det).collect()
+    assert out[0].obj == "xé"

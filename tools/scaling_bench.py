@@ -184,12 +184,19 @@ def _pyfiles_zip() -> str:
     return build()
 
 
-def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
+def run_level(cpus: int, child_py: str, zip_path: str,
+              extra_conf: list[str] | None = None) -> dict:
+    """extra_conf: additional `k=v` Spark conf strings appended after the
+    protocol's fixed set (tools/arrow_probe.py varies Arrow/worker confs
+    per variant through this)."""
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
     import tempfile
 
+    conf_args = []
+    for kv in (extra_conf or []):
+        conf_args += ["--conf", kv]
     # stderr goes to a FILE, not a pipe: local-mode Spark logs can exceed
     # the ~64 KB pipe buffer, and a parent looping on stdout while the child
     # blocks in a full stderr write(2) is a deadlock (review finding). A
@@ -204,6 +211,7 @@ def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
              "--conf", "spark.sql.files.maxPartitionBytes=1048576",
              "--conf", "spark.sql.files.openCostInBytes=131072",
              "--conf", "spark.driver.memory=8g",
+             *conf_args,
              "--py-files", zip_path,
              child_py, str(cpus), PREP_DIR],
             stdout=subprocess.PIPE, stderr=errf, text=True, env=env,
@@ -253,13 +261,15 @@ def run_level(cpus: int, child_py: str, zip_path: str) -> dict:
     return result
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    ns = ([int(x) for x in sys.argv[2].split(",")]
-          if len(sys.argv) > 2 else [2, 8])
-    repl = int(sys.argv[3]) if len(sys.argv) > 3 else 40
-    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+# --------------------------------------------------------------------------
+# shared probe plumbing (arrow_probe.py / retention_pair.py import these —
+# one copy of the prep/child/ceiling/aggregation protocol, round-5 review)
+# --------------------------------------------------------------------------
+
+
+def prep_input(sf_dir: str, repl: int) -> int:
+    """Build the replicated transcript input (untimed, shared by all
+    levels/variants) into PREP_DIR; returns the row count."""
     prep_out = _run(_PREP.format(repo=REPO, sf_dir=sf_dir, repl=repl,
                                  prep_dir=PREP_DIR))
     prep_lines = [ln for ln in prep_out.splitlines()
@@ -267,13 +277,55 @@ def main() -> None:
     if not prep_lines:
         raise RuntimeError(
             f"prep produced no PREP_ROWS line; stdout tail: {prep_out[-1000:]!r}")
-    n_rows = int(prep_lines[-1].split()[1])
+    return int(prep_lines[-1].split()[1])
+
+
+def make_child() -> str:
+    """Write the measured child script to a temp file; returns its path."""
     import tempfile
-    zip_path = _pyfiles_zip()
+
     child_py = os.path.join(tempfile.mkdtemp(prefix="scaling_child_"),
                             "scaling_child.py")
     with open(child_py, "w") as f:
         f.write(_CHILD)
+    return child_py
+
+
+def agg_runs(rs: list[dict]) -> dict:
+    """Median tps + busy-core occupancy over one (variant, level)'s trials."""
+    from statistics import median
+
+    tps = median(r["turns_per_sec"] for r in rs)
+    busies = [r["busy_cores"]["total"] for r in rs if r.get("busy_cores")]
+    busy = median(busies) if busies else None
+    return {"median_tps": round(tps), "busy_cores": busy,
+            "tps_per_busy_core": round(tps / busy) if busy else None,
+            "all_tps": [round(r["turns_per_sec"]) for r in rs]}
+
+
+def host_ceiling_at(levels: list[int]) -> dict:
+    """Same-day host calibration at the given proc counts; returns the
+    tool's parsed JSON ({'rows_per_sec': {level: rate}, ...})."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "host_ceiling.py"),
+         *map(str, levels)],
+        capture_output=True, text=True, timeout=3600, cwd=REPO)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads([ln for ln in out.stdout.splitlines()
+                       if ln.startswith("{")][-1])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ns = ([int(x) for x in sys.argv[2].split(",")]
+          if len(sys.argv) > 2 else [2, 8])
+    repl = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    n_rows = prep_input(sf_dir, repl)
+    zip_path = _pyfiles_zip()
+    child_py = make_child()
     levels = sorted({c for n in ns for c in (n, 4 * n)})
     by_level: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(trials):  # interleaved: host variance hits all levels
