@@ -51,18 +51,26 @@ def connected_components(
         .distinct()
     )
     # size probe touches at most threshold+1 rows (a full e.count() would
-    # scan + shuffle the entire edge set once just to pick a strategy)
-    if driver_threshold and (
-        e.limit(driver_threshold + 1).count() <= driver_threshold
-    ):
-        from ..oracle import resolve_canonical
+    # scan + shuffle the entire edge set once just to pick a strategy);
+    # the probe rows ARE the fast path's input — collecting limit(N+1)
+    # once instead of count-then-collect halves the driver-path jobs
+    # (round-5 review finding)
+    if driver_threshold:
+        probe = e.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            from ..oracle import resolve_canonical
 
-        pairs = [(r.a, r.b, "sameAs") for r in e.collect()]
-        mapping, _ = resolve_canonical(pairs)
-        rows = sorted(mapping.items())
-        return spark.createDataFrame(rows, "node string, canonical string")
-    # undirected closure: both directions, so min propagates either way
+            pairs = [(r.a, r.b, "sameAs") for r in probe]
+            mapping, _ = resolve_canonical(pairs)
+            rows = sorted(mapping.items())
+            return spark.createDataFrame(rows, "node string, canonical string")
+    # undirected closure: both directions, so min propagates either way.
+    # sym is loop-invariant and consumed by every pointer-jumping round:
+    # without the checkpoint each round would re-scan + re-distinct
+    # (shuffle) + re-union the full edge set from source (round-5 review
+    # finding — the much smaller labels frame was already checkpointed).
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
     # labels: every node starts labeled with min(self, min neighbor)
     labels = (
         sym.groupBy("a")
@@ -89,10 +97,11 @@ def connected_components(
             .join(hop, labels["label"] == hop["__lbl"], "left")
             .select(
                 "node",
+                # least() skips NULL arguments (isolated node → nlabel
+                # NULL; label's row absent → llabel NULL) and label itself
+                # is never NULL, so no coalesce scaffolding is needed
                 F.least(
-                    F.col("label"),
-                    F.coalesce("nlabel", F.col("label")),
-                    F.coalesce("llabel", F.col("label")),
+                    F.col("label"), F.col("nlabel"), F.col("llabel")
                 ).alias("label"),
             )
         )

@@ -33,16 +33,56 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _cast_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def _cosine_from(dot: Column, den: Column) -> Column:
+    """Guarded similarity from a precomputed dot product and norm product.
+    Zero-norm vectors (failed/padded embeddings) get similarity 0.0 — the
+    raw 0/0 would be NaN — and so does any NaN result (a NaN COMPONENT in
+    one vector yields NaN straight through a non-trivial den, which the
+    den==0 guard alone misses; Spark orders NaN ABOVE every real double,
+    so one bad vector would otherwise seize rank 1 in every top-k —
+    round-5 review finding)."""
+    raw = dot / den
+    return F.when((den == 0.0) | F.isnan(raw), F.lit(0.0)).otherwise(raw)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, pure expressions
-    (cast to double for a stable accumulation order). Zero-norm vectors
-    (failed/padded embeddings) get similarity 0.0 — the raw 0/0 would be
-    NaN, which Spark orders ABOVE every real similarity and would seize
-    rank 1 in every top-k."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-    den = _norm(ad) * _norm(bd)
-    return F.when(den == 0.0, F.lit(0.0)).otherwise(_dot(ad, bd) / den)
+    (cast to double for a stable accumulation order)."""
+    ad = _cast_double(a)
+    bd = _cast_double(b)
+    return _cosine_from(_dot(ad, bd), _norm(ad) * _norm(bd))
+
+
+def _paired_cosine(qv: str, cv: str, qn: str, cn: str) -> Column:
+    """Per-pair similarity with HOISTED norms: inside a candidate join the
+    norms are per-ROW quantities — recomputing them per pair triples the
+    per-candidate array work (round-5 review finding). The hoisted columns
+    are built by `_with_norm` with the identical expression `cosine` uses,
+    so scores are bit-identical to the unhoisted form."""
+    return _cosine_from(_dot(_cast_double(F.col(qv)), _cast_double(F.col(cv))),
+                        F.col(qn) * F.col(cn))
+
+
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, _norm(_cast_double(F.col(vec_col))))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query top-k: one definition so the exact and approximate
+    paths cannot drift on ordering, tie-break, or rounding (their parity is
+    the module's correctness premise)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
 
 
 def cosine_topk(
@@ -55,22 +95,18 @@ def cosine_topk(
     """Exact top-k neighbors per query (excluding self) ->
     (query_id, rank, neighbor_id, cosine_sim). Queries broadcast; ties broken
     by neighbor id for determinism."""
-    q = queries.select(
+    q = _with_norm(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = corpus.select(
+    ), "__qv", "__qn")
+    c = _with_norm(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    ), "__cv", "__cn")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"))
+        .select("query_id", "neighbor_id",
+                _paired_cosine("__qv", "__cv", "__qn", "__cn").alias("cosine_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, planes: int, tables: int, seed: int) -> list[list[list[float]]]:
@@ -114,6 +150,11 @@ def lsh_buckets(
 
     def _hash(batches):
         for pdf in batches:
+            # rows with a NULL embedding are excluded from bucketing: they
+            # cannot produce a meaningful similarity (the exact path scores
+            # them NULL, ranked last) and np.stack over a 0-d object array
+            # would otherwise abort the whole job (round-5 review finding)
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
@@ -142,8 +183,10 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: bucket-join candidates across tables, exact cosine
     re-rank on the candidate set only."""
-    cb = lsh_buckets(corpus, dim, id_col, vec_col, planes, tables, seed)
-    qb = lsh_buckets(queries, dim, id_col, vec_col, planes, tables, seed)
+    cb = _with_norm(lsh_buckets(corpus, dim, id_col, vec_col, planes,
+                                tables, seed), vec_col, "__cn")
+    qb = _with_norm(lsh_buckets(queries, dim, id_col, vec_col, planes,
+                                tables, seed), vec_col, "__qn")
     cands = (
         cb.alias("c")
         .join(
@@ -156,18 +199,16 @@ def lsh_topk(
             F.col(f"c.{id_col}").alias("neighbor_id"),
             F.col("__qv"),
             F.col(f"c.{vec_col}").alias("__cv"),
+            "__qn",
+            "__cn",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim")
+        "query_id", "neighbor_id",
+        _paired_cosine("__qv", "__cv", "__qn", "__cn").alias("cosine_sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -194,6 +235,10 @@ def ivf_fit_centroids(
 
     rows = (
         corpus.select(id_col, vec_col)
+        # NULL embeddings are excluded from the fit sample, matching the
+        # bucketing paths' treatment of failed embeddings (a NULL in the
+        # sample would crash the driver-side np.stack)
+        .where(F.col(vec_col).isNotNull())
         .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit((1 << 31) - 1)), id_col)
         .limit(sample)
         .collect()
@@ -247,6 +292,8 @@ def ivf_assign(
 
     def _assign(batches):
         for pdf in batches:
+            # NULL embeddings dropped, same contract as lsh_buckets._hash
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
@@ -284,9 +331,11 @@ def ivf_topk(
     if centroids is None:
         centroids = ivf_fit_centroids(corpus, dim, n_lists, id_col=id_col,
                                       vec_col=vec_col, seed=seed)
-    cb = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+    cb = _with_norm(ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1),
+                    vec_col, "__cn")
     qb = (
-        ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+        _with_norm(ivf_assign(queries, centroids, id_col, vec_col,
+                              nprobe=nprobe), vec_col, "__qn")
         .withColumnRenamed(id_col, "query_id")
         .withColumnRenamed(vec_col, "__qv")
     )
@@ -298,18 +347,16 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"),
             F.col("__qv"),
             F.col(vec_col).alias("__cv"),
+            "__qn",
+            "__cn",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim")
+        "query_id", "neighbor_id",
+        _paired_cosine("__qv", "__cv", "__qn", "__cn").alias("cosine_sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_cosine_dedup_pairs(
@@ -324,7 +371,8 @@ def embedding_cosine_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate (id_a, id_b, cosine_sim) pairs above threshold via
     hyperplane-bucket self-join. More tables / fewer planes -> higher recall."""
-    b = lsh_buckets(df, dim, id_col, vec_col, planes, tables, seed)
+    b = _with_norm(lsh_buckets(df, dim, id_col, vec_col, planes, tables,
+                               seed), vec_col, "__n")
     pairs = (
         b.alias("a")
         .join(b.alias("b"), ["table", "bucket"])
@@ -334,10 +382,13 @@ def embedding_cosine_dedup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{vec_col}").alias("__va"),
             F.col(f"b.{vec_col}").alias("__vb"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        pairs.select("id_a", "id_b",
+                     _paired_cosine("__va", "__vb", "__na", "__nb").alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )

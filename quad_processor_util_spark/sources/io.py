@@ -43,7 +43,21 @@ def write_table(
 ) -> None:
     """Write parquet + a commit-metadata sidecar (lineage + counters — the
     Iceberg snapshot-summary analog; reference: per-file header metadata,
-    StreamSourceMetaData.scala:7-49 written by QuadSorter.scala:392-404)."""
+    StreamSourceMetaData.scala:7-49 written by QuadSorter.scala:392-404).
+
+    The sidecar is driver-local file IO, so the table path must be a
+    local-filesystem path. Checked UP FRONT: on a remote path the parquet
+    write would succeed and THEN the sidecar would fail (data committed,
+    metadata lost) — or worse, append mode would silently restart commit
+    history at one entry because os.path.exists can't see the remote
+    sidecar (round-5 review finding). On a real deployment this function
+    IS the Iceberg commit (BENCH/ICEBERG.md mapping contract) and the
+    sidecar becomes snapshot-summary properties — no driver-local IO."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"write_table: sidecar commit is driver-local; {scheme}:// "
+            f"paths need the Iceberg-commit backend (BENCH/ICEBERG.md)")
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -129,10 +143,21 @@ def write_sorted_nt(
     QuadSorter pipeline, sort/QuadSorter.scala:258-336) and write N-Triples/
     N-Quads text part files whose lexicographic file order preserves the
     global order (part-00000 < part-00001 …), replacing the reference's
-    bash-cat concat (IOUtils.scala:96-134)."""
+    bash-cat concat (IOUtils.scala:96-134).
+
+    The file-order contract rides Spark's %05d part numbering: beyond
+    99,999 partitions 'part-100000' sorts BEFORE 'part-99999' and a
+    name-ordered concat is globally mis-ordered — refused loudly rather
+    than silently violated (round-5 review finding). 100k output
+    partitions of a reasonably-sized dump is ~TB-scale text; shard the
+    dump by prefix before asking for more."""
     from ..functions.nt import format_nt_exact
     from ..operators.sort import sort_quads
 
+    if num_partitions is not None and num_partitions > 99_999:
+        raise ValueError(
+            "write_sorted_nt: >99,999 partitions breaks the lexicographic "
+            "part-file order contract (%05d numbering); shard the dump")
     sorted_quads = sort_quads(quads, target, num_partitions)
     lines = format_nt_exact(sorted_quads, quads_mode=quads_mode)
     write_nt_lines(lines, path, compression)

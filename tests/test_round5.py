@@ -199,3 +199,62 @@ def test_parse_nt_expr_warns_on_nondeterministic_source(spark):
         warnings.simplefilter("error", RuntimeWarning)
         out = parse_nt_expr(det).collect()
     assert out[0].obj == "xé"
+
+
+def test_cosine_nan_component_does_not_seize_rank1(spark):
+    """A NaN component used to flow through a non-trivial denominator and
+    rank above every real similarity (Spark orders NaN first under desc);
+    the guard now scores such vectors 0.0 (round-5 review finding)."""
+    from quad_processor_util_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, [float("nan"), 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in cosine_topk(df, df.where(F.col("vec_id") == 0),
+                                k=3).collect()}
+    assert got[(0, 1)] == 1            # the true neighbor, not the NaN row
+    assert got[(0, 3)] == 3            # NaN row sinks to sim 0.0, last
+
+
+def test_lsh_ivf_null_embedding_rows_are_dropped_not_fatal(spark):
+    """np.stack over a NULL embedding used to abort the whole job; bucketed
+    paths now drop such rows, matching the exact path's rank-last/absent
+    treatment of failed embeddings (round-5 review finding)."""
+    from quad_processor_util_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(8)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0)
+    lsh = lsh_topk(df, q, dim=4, k=3, planes=2, tables=4).collect()
+    assert lsh and all(r.neighbor_id != 99 for r in lsh)
+    ivf = ivf_topk(df, q, dim=4, k=3, n_lists=2, nprobe=2).collect()
+    assert ivf and all(r.neighbor_id != 99 for r in ivf)
+
+
+def test_write_table_refuses_remote_path_before_writing(spark, tmp_path):
+    from quad_processor_util_spark.sources.io import (
+        write_sorted_nt,
+        write_table,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        write_table(df, "s3a://bucket/tbl")
+    # local paths still work, sidecar included
+    out = str(tmp_path / "tbl")
+    write_table(df, out)
+    assert os.path.exists(os.path.join(out, "_table_meta.json"))
+
+    with pytest.raises(ValueError, match="99,999"):
+        write_sorted_nt(spark.createDataFrame(
+            [], "subject string, predicate string, obj string, "
+                "datatype string, language string, graph string, "
+                "dataset string"),
+            str(tmp_path / "nt"), num_partitions=100_000)
