@@ -1469,6 +1469,21 @@ def _q_winnow_fp(spark, sf_dir):
     return winnow_fingerprints(docs, k=7, window=4)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Test-set decontamination gate (round-5, training-data family): every
+    20th document plays the benchmark/eval set (texts verbatim), and
+    decontaminate() flags corpus docs sharing winnowing fingerprints with
+    it. Benchmark members flag themselves by construction; any other doc
+    flags iff it shares a >= k+window-1 = 10-normalized-char substring —
+    the winnowing guarantee, replayed exactly by the oracle (the benchmark
+    fingerprints are a doc_id%20 filter of the corpus fingerprint CTE)."""
+    from quad_processor_util_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, benchmark, k=7, window=4)
+
+
 def _q_repetition_metrics(spark, sf_dir):
     """Gopher/MassiveText-style repetition filters: duplicate-line fraction
     (count- and char-weighted), duplicate word-5-gram fraction, and the
@@ -1576,7 +1591,6 @@ FROM nn, unnest(generate_series(0, n_chunks - 1)) AS t(k)
 WHERE n > 0
 """
 
-
 def _q_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1605,8 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
-        # round-5 gate, placed inside the first-50 window on arrival
+        # round-5 gates, placed inside the first-50 window on arrival
         "resume_bucketed": _q_resume_bucketed,
+        "decontaminate": _q_decontaminate,
         "tpch_q1": _q_tpch_q1,
         "star_join": _q_star_join,
         "stable_turn_order": _q_stable_turn_order,
@@ -1681,6 +1696,32 @@ _EXTRACT_CORE_SQL = f"""SELECT {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
             FROM events"""
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# DuckDB replay of functions.text.winnow_fingerprints (k=7, window=4) over
+# the documents table — shared by the winnow_fp gate and, as a CTE, by the
+# decontaminate gate's oracle
+_WINNOW_SQL = f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            g0 AS (
+              SELECT doc_id, greatest(len(t) - 6, 1) AS m,
+                     unnest([{{'pos': i,
+                              'h': ('0x' || substr(md5(substr(t, i, 7)), 1, 15))::BIGINT
+                                   % 2147483647}}
+                             FOR i IN generate_series(1, greatest(len(t) - 6, 1))]) AS u
+              FROM n
+            ), g AS (
+              SELECT doc_id, m, u.pos AS pos, u.h AS h FROM g0
+            ), s AS (
+              SELECT doc_id, pos, m,
+                     min(h * 1048576 + (1048575 - pos))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+              FROM g
+            )
+            SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp
+            FROM s WHERE pos <= greatest(m - 3, 1)
+"""
+
 
 _COSINE_TOPK_SQL = """
             WITH sims AS (
@@ -2473,26 +2514,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_metrics": _REPETITION_ORACLE,
         "chunk_docs": _CHUNK_ORACLE,
-        "winnow_fp": f"""
-            WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
-            g0 AS (
-              SELECT doc_id, greatest(len(t) - 6, 1) AS m,
-                     unnest([{{'pos': i,
-                              'h': ('0x' || substr(md5(substr(t, i, 7)), 1, 15))::BIGINT
-                                   % 2147483647}}
-                             FOR i IN generate_series(1, greatest(len(t) - 6, 1))]) AS u
-              FROM n
-            ), g AS (
-              SELECT doc_id, m, u.pos AS pos, u.h AS h FROM g0
-            ), s AS (
-              SELECT doc_id, pos, m,
-                     min(h * 1048576 + (1048575 - pos))
-                       OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-              FROM g
+        "winnow_fp": _WINNOW_SQL,
+        # benchmark fps are a SUBSET of the corpus fps by construction
+        # (the gate benchmark is documents with doc_id % 20 = 0, texts
+        # verbatim, and winnowing is per-document), so the oracle derives
+        # them by filtering the corpus fingerprints
+        "decontaminate": f"""
+            WITH corpus_fp AS ({_WINNOW_SQL}),
+            bench_fp AS (
+              SELECT DISTINCT fp FROM corpus_fp WHERE doc_id % 20 = 0
+            ),
+            hits AS (
+              SELECT c.doc_id, count(DISTINCT c.fp) AS h
+              FROM corpus_fp c JOIN bench_fp b USING (fp)
+              GROUP BY 1
             )
-            SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp
-            FROM s WHERE pos <= greatest(m - 3, 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+                   coalesce(h.h, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "codepoint_order": """
             SELECT doc_id,

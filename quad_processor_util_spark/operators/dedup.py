@@ -636,3 +636,55 @@ def dedup_clusters(
         .select(id_col,
                 F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 7,
+    window: int = 4,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents that share winnowing
+    fingerprints with a benchmark/eval set (the Dolma/RefinedWeb-style
+    "remove eval overlap before training" pass; GPT-3 App. C n-gram
+    decontamination is the ancestor). Winnowing's guarantee does the work:
+    any shared substring of length >= k + window - 1 normalized chars
+    between a corpus doc and a benchmark doc yields at least one shared
+    fingerprint (functions.text.winnow_fingerprints), so substring-level
+    contamination cannot slip through the sampling.
+
+    -> (id_col, hits BIGINT, contaminated BOOLEAN), one row per corpus doc;
+    `hits` = distinct benchmark fingerprints the doc shares.
+
+    100 TB stance: the corpus side is one winnowing pass (pure Catalyst,
+    ~2/(window+1) of gram volume survives) + one equi-join on fp; eval
+    sets are small by nature, so the benchmark fingerprint set is
+    DISTINCT'd and broadcast — no shuffle of the corpus beyond the final
+    per-doc count, which groups on the already-partitioned id."""
+    from ..functions.text import winnow_fingerprints
+
+    corpus_fp = winnow_fingerprints(docs, text_col, id_col, k, window)
+    bench_fp = (
+        winnow_fingerprints(benchmark, bench_text_col, bench_id_col, k,
+                            window)
+        .select("fp").distinct()
+    )
+    hits = (
+        corpus_fp.join(F.broadcast(bench_fp), "fp")
+        .groupBy(id_col)
+        .agg(F.count_distinct("fp").alias("hits"))
+    )
+    return (
+        docs.select(id_col).join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) >= min_hits
+             ).alias("contaminated"),
+        )
+    )

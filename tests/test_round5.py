@@ -258,3 +258,24 @@ def test_write_table_refuses_remote_path_before_writing(spark, tmp_path):
                 "datatype string, language string, graph string, "
                 "dataset string"),
             str(tmp_path / "nt"), num_partitions=100_000)
+
+
+def test_decontaminate_flags_substring_overlap(spark):
+    """Winnowing guarantee end-to-end: a corpus doc sharing a >= k+window-1
+    (10) normalized-char substring with a benchmark doc is flagged; an
+    unrelated doc is not; hits are 0 for clean docs."""
+    from quad_processor_util_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "What is the capital of France? Paris is the capital.")],
+        "doc_id int, text string")
+    docs = spark.createDataFrame([
+        (1, "trivia: what is the capital of france? paris is the capital."),
+        (2, "completely different content with no shared substrings here"),
+        (3, "xx the capital of France yy"),     # 10+ char shared substring
+    ], "doc_id int, text string")
+    got = {r.doc_id: (r.hits, r.contaminated)
+           for r in decontaminate(docs, bench, k=7, window=4).collect()}
+    assert got[1][1] and got[1][0] > 0          # near-verbatim inclusion
+    assert not got[2][1] and got[2][0] == 0     # clean
+    assert got[3][1]                            # substring-level leak
