@@ -1393,6 +1393,29 @@ def _q_embedding_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("sim"))
 
 
+def _q_embedding_clusters(spark, sf_dir):
+    """Embedding CLUSTER labeling over the same planted corpus as
+    embedding_neardup (round 5): embedding_dedup_clusters = hyperplane-
+    bucketed cosine pairs → transitive closure, the semantic-dedup
+    counterpart of dedup_clusters. Each (i, i+10^7) planted pair forms a
+    2-element cluster labeled min = i; pairless vectors label themselves.
+    The oracle replays the bucketing + cosine verification from the data
+    and closes it with a recursive reachability CTE."""
+    from quad_processor_util_spark.operators.dedup import (
+        embedding_dedup_clusters,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    return embedding_dedup_clusters(
+        corpus, dim=_EMB_DIM, threshold=0.95, planes=6, tables=6
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cluster_id")
+
+
 def _q_int_hex(spark, sf_dir):
     """int <-> hex roundtrip (X16, utils/StringUtils intToHex/hexToInt —
     native hex()/conv() on Spark, to_hex/hex-cast on DuckDB)."""
@@ -1622,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 gates, placed inside the first-50 window on arrival
         "resume_bucketed": _q_resume_bucketed,
         "decontaminate": _q_decontaminate,
+        "embedding_clusters": _q_embedding_clusters,
         "tpch_q1": _q_tpch_q1,
         "star_join": _q_star_join,
         "stable_turn_order": _q_stable_turn_order,
@@ -1967,15 +1991,18 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 """
 
 
-def _embedding_neardup_oracle_sql(dim: int = _EMB_DIM, threshold: float = 0.95,
-                                  planes: int = 6, tables: int = 6,
-                                  seed: int = 42) -> str:
-    """DuckDB replay of embedding_cosine_dedup_pairs over the same planted
-    corpus (embeddings UNION a ×1.5/+10^7 copy): the SAME seeded
+def _embedding_pairs_core_sql(dim: int = _EMB_DIM, threshold: float = 0.95,
+                              planes: int = 6, tables: int = 6,
+                              seed: int = 42) -> str:
+    """Shared CTE body replaying embedding_cosine_dedup_pairs over the
+    planted corpus (embeddings UNION a ×1.5/+10^7 copy): the SAME seeded
     hyperplanes (inlined as literals), sign-bit buckets per table,
-    candidate self-join on (table, bucket), exact cosine filter on
-    candidates only. Computes the pairs FROM THE DATA — the planted-pair
-    closed form is not assumed (round-2 gate-hygiene fix)."""
+    candidate self-join on (table, bucket), exact cosine on candidates
+    only. Ends with `scored` (id_a, id_b, sim) and `ver` (pairs above
+    threshold) — consumed by both the embedding_neardup oracle (pair
+    list) and the embedding_clusters oracle (recursive closure). Computes
+    the pairs FROM THE DATA — the planted-pair closed form is not assumed
+    (round-2 gate-hygiene fix)."""
     from quad_processor_util_spark.operators.similarity import _hyperplanes
 
     P = _hyperplanes(dim, planes, tables, seed)
@@ -1991,8 +2018,7 @@ def _embedding_neardup_oracle_sql(dim: int = _EMB_DIM, threshold: float = 0.95,
         f"  SELECT vec_id, v, {t} AS tbl, {bucket_expr(t)} AS bucket FROM c"
         for t in range(tables)
     )
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (
   SELECT vec_id, v FROM base
   UNION ALL
@@ -2013,9 +2039,39 @@ scored AS (
   FROM pairs
   JOIN c ca ON ca.vec_id = id_a
   JOIN c cb ON cb.vec_id = id_b
-)
+),
+ver AS (SELECT id_a, id_b FROM scored WHERE sim >= {threshold})"""
+
+
+def _embedding_neardup_oracle_sql(threshold: float = 0.95) -> str:
+    return f"""
+WITH {_embedding_pairs_core_sql(threshold=threshold)}
 SELECT id_a, id_b, round(sim, 6) AS sim
 FROM scored WHERE sim >= {threshold}
+"""
+
+
+def _embedding_clusters_oracle_sql(threshold: float = 0.95) -> str:
+    """Recursive-CTE transitive closure over the verified embedding pairs
+    — same reachability pattern as the dedup_clusters oracle — labeling
+    every corpus vector (both planted halves) with its component-min id."""
+    return f"""
+WITH RECURSIVE {_embedding_pairs_core_sql(threshold=threshold)},
+e AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ver
+),
+reach(node, r) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(least(c.vec_id, coalesce(min(reach.r), c.vec_id)) AS BIGINT)
+         AS cluster_id
+FROM c LEFT JOIN reach ON reach.node = c.vec_id
+GROUP BY c.vec_id
 """
 
 
@@ -2442,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         # (the planted ×1.5 pairs are guaranteed co-bucketed and cos=1, but
         # the oracle derives the pairs from the data, not the construction)
         "embedding_neardup": _embedding_neardup_oracle_sql(),
+        "embedding_clusters": _embedding_clusters_oracle_sql(),
         "int_hex": """
             SELECT event_id,
                    to_hex(event_id) AS hx,

@@ -609,9 +609,21 @@ def dedup_clusters(
     cands = minhash_lsh_candidates(sigs, id_col, bands, bucket_kind)
     pairs = ngram_jaccard_pairs_from_candidates(df, cands, text_col, id_col,
                                                 shingle_n, threshold)
+    return _clusters_from_pairs(df, pairs, id_col)
+
+
+def _clusters_from_pairs(df: DataFrame, pairs: DataFrame,
+                         id_col: str) -> DataFrame:
+    """(id_a, id_b) verified near-dup pairs -> (id_col, cluster_id) for
+    EVERY row of df (transitive closure; cluster_id = component-min id;
+    pairless docs are their own cluster). Shared by the text
+    (dedup_clusters) and embedding (embedding_dedup_clusters) paths so the
+    zero-padding width invariant and the lineage cut live in one place."""
+    from .cc import connected_components
+
     # connected_components consumes its edges MORE than once (size probe +
     # driver collect on the fast path; per-round joins on the distributed
-    # path) — cut the expensive signature/LSH/verify lineage so it executes
+    # path) — cut the expensive candidate/verify lineage so it executes
     # exactly once. localCheckpoint (not persist): the per-call RDD is
     # reaped by ContextCleaner, no CacheManager entry outlives the call.
     pairs = pairs.localCheckpoint(eager=False)
@@ -622,7 +634,7 @@ def dedup_clusters(
     guarded = lambda c: F.when(  # noqa: E731
         c >= 0, F.format_string(fmt, c)
     ).otherwise(F.raise_error(F.lit(
-        "dedup_clusters: negative doc ids are unsupported")))
+        "clusters_from_pairs: negative doc ids are unsupported")))
     edges = pairs.select(
         guarded(F.col("id_a")).alias("src_iri"),
         guarded(F.col("id_b")).alias("dst_iri"),
@@ -636,6 +648,30 @@ def dedup_clusters(
         .select(id_col,
                 F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
     )
+
+
+def embedding_dedup_clusters(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (id_col, cluster_id): every vector labeled with its embedding
+    near-dup CLUSTER — the semantic-dedup counterpart of the textual
+    dedup_clusters (pairs from hyperplane-bucketed cosine, components over
+    the same zero-padded-id CC scaffold). Completes the dedup matrix:
+    {text, embedding} × {pair drop, transitive cluster}. Cost profile =
+    embedding_cosine_dedup_pairs (bucketed self-join, never all-pairs) +
+    one CC over the verified pairs (tiny vs the corpus)."""
+    from .similarity import embedding_cosine_dedup_pairs
+
+    pairs = embedding_cosine_dedup_pairs(df, dim, threshold, id_col,
+                                         vec_col, planes, tables, seed)
+    return _clusters_from_pairs(df, pairs, id_col)
 
 
 def decontaminate(

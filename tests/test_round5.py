@@ -279,3 +279,26 @@ def test_decontaminate_flags_substring_overlap(spark):
     assert got[1][1] and got[1][0] > 0          # near-verbatim inclusion
     assert not got[2][1] and got[2][0] == 0     # clean
     assert got[3][1]                            # substring-level leak
+
+
+def test_embedding_dedup_clusters_transitive_chain(spark):
+    """a~b and b~c above threshold (but a~c below it) must still cluster
+    {a,b,c} under one min-id label — transitive closure, not pair drop."""
+    import math
+
+    from quad_processor_util_spark.operators.dedup import (
+        embedding_dedup_clusters,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # adjacent ~18° apart (cos ≈ 0.95+), ends ~37° apart (cos ≈ 0.80)
+    rows = [(0, unit(0.0)), (1, unit(0.31)), (2, unit(0.62)),
+            (3, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r.vec_id: r.cluster_id
+           for r in embedding_dedup_clusters(
+               df, dim=4, threshold=0.95, planes=2, tables=8).collect()}
+    assert got[0] == got[1] == got[2] == 0   # chained into one cluster
+    assert got[3] == 3                       # isolated vector labels itself

@@ -59,6 +59,14 @@ CHECKS = {
     "lsh_topk": ["MapInPandas", "Window"],
     # shingle explode + the K min-aggs in ONE HashAggregate pass
     "minhash_dedup": ["Generate", "HashAggregate"],
+    # corpus winnow pass (posexplode + window MIN) + BROADCAST of the
+    # benchmark fingerprint set — the corpus must never shuffle for the join
+    "decontaminate": ["Generate", "Window", "BroadcastHashJoin"],
+    # like dedup_clusters, the pair pipeline + CC execute EAGERLY at build
+    # time (driver fast path collects the tiny edge set); the visible plan
+    # is the column-pruned corpus union ⟕ local component table
+    "embedding_clusters": ["SortMergeJoin LeftOuter|BroadcastHashJoin",
+                           "Union", "Scan parquet"],
     # hyperplane bucketing via Arrow batches; one side broadcast; the pair
     # dedup aggregates on array-typed keys → SortAggregate (arrays have no
     # hash-agg support), which is the expected operator here
