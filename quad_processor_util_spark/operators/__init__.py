@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     linking,
     mapping,
     quadfilter,
+    sampling,
     similarity,
     sort,
 )

@@ -602,8 +602,6 @@ def dedup_clusters(
     At 100 TB, run the signature-group collapse (see minhash_dedup) before
     banding and expand cluster ids back through the groups; the gate
     variant skips the collapse so the SQL oracle replays 1:1."""
-    from .cc import connected_components
-
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
                               seed, hash_kind)
     cands = minhash_lsh_candidates(sigs, id_col, bands, bucket_kind)
@@ -710,10 +708,15 @@ def decontaminate(
                             window)
         .select("fp").distinct()
     )
+    # `hits` is the count of DISTINCT shared fingerprints, but the distinct
+    # aggregate is free: winnow_fingerprints ends with .distinct() on
+    # (id_col, fp) and bench_fp is distinct on fp, so post-join rows are
+    # already unique per (doc, fp) — a plain count avoids the two-phase
+    # distinct-aggregate state on the corpus-wide hot path
     hits = (
         corpus_fp.join(F.broadcast(bench_fp), "fp")
         .groupBy(id_col)
-        .agg(F.count_distinct("fp").alias("hits"))
+        .agg(F.count(F.lit(1)).alias("hits"))
     )
     return (
         docs.select(id_col).join(hits, id_col, "left")

@@ -302,3 +302,111 @@ def test_embedding_dedup_clusters_transitive_chain(spark):
                df, dim=4, threshold=0.95, planes=2, tables=8).collect()}
     assert got[0] == got[1] == got[2] == 0   # chained into one cluster
     assert got[3] == 3                       # isolated vector labels itself
+
+
+# ---------------------------------------------------------------------------
+# sampling family (stratified_sample / group_quota / hash_split)
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Same (id, seed) -> same sample on every run; a smaller fraction's
+    sample is a SUBSET of a larger one's (nested samples); unseen strata
+    fall back to default_fraction=0 and vanish."""
+    from quad_processor_util_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "xx") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    small = {r.doc_id for r in
+             stratified_sample(df, "lang", {"en": 0.3}).collect()}
+    big = {r.doc_id for r in
+           stratified_sample(df, "lang", {"en": 0.7}).collect()}
+    again = {r.doc_id for r in
+             stratified_sample(df, "lang", {"en": 0.3}).collect()}
+    assert small == again                      # deterministic
+    assert small <= big                        # nested across fractions
+    assert all(i % 2 == 0 for i in big)        # 'xx' stratum dropped
+    # rates land near the fractions (200 en docs; binomial tolerance)
+    assert 30 <= len(small) <= 90
+    assert 110 <= len(big) <= 170
+    # full keep / full drop are exact, not approximate
+    assert stratified_sample(df, "lang", {"en": 1.0, "xx": 1.0}).count() \
+        == 400
+    assert stratified_sample(df, "lang", {"en": 0.0}).count() == 0
+
+
+def test_stratified_sample_validates_fractions(spark):
+    from quad_processor_util_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError, match="non-empty"):
+        stratified_sample(df, "lang", {})
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        stratified_sample(df, "lang", {"en": 1.5})
+    with pytest.raises(ValueError, match="default_fraction"):
+        stratified_sample(df, "lang", {"en": 0.5}, default_fraction=-0.1)
+
+
+def test_group_quota_caps_with_preference_order(spark):
+    """Keeps exactly the preferred `quota` rows of an over-quota group
+    (ordered by the preference columns, id tiebreak), all rows of an
+    under-quota group, and emits correct 1-based ranks when asked."""
+    from quad_processor_util_spark.operators.sampling import group_quota
+
+    rows = [  # group a: 4 rows, quality ties broken by doc_id
+        (1, "a", 9), (2, "a", 7), (3, "a", 9), (4, "a", 5),
+        (5, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, q long")
+    got = {(r.doc_id, r.rk) for r in
+           group_quota(df, "grp", 2, order_by=[("q", False)],
+                       rank_col="rk").collect()}
+    assert got == {(1, 1), (3, 2), (5, 1)}
+    # without rank_col the helper column must not leak into the schema
+    no_rank = group_quota(df, "grp", 2, order_by=[("q", False)])
+    assert no_rank.columns == ["doc_id", "grp", "q"]
+    with pytest.raises(ValueError, match=">= 1"):
+        group_quota(df, "grp", 0)
+
+
+def test_group_quota_plans_window_group_limit(spark):
+    """The row_number()<=quota filter must plan as WindowGroupLimit (the
+    map-side per-group top-N that bounds skewed groups before the one
+    shuffle) — the 100 TB design claim of the docstring."""
+    from quad_processor_util_spark.operators.sampling import group_quota
+
+    df = spark.createDataFrame(
+        [(1, "a", 2)], "doc_id long, grp string, q long")
+    plan = group_quota(df, "grp", 3, order_by=[("q", False)]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_hash_split_stable_total_and_weighted(spark):
+    """Every row gets exactly one label; the assignment is a pure function
+    of (id, seed): stable across calls, immune to extra rows being added
+    (a doc can never migrate out of its bucket on reprocessing)."""
+    from quad_processor_util_spark.operators.sampling import hash_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split for r in hash_split(df, w, seed=7).collect()}
+    assert len(got) == 1000
+    from collections import Counter
+    dist = Counter(got.values())
+    assert set(dist) == {"train", "val", "test"}
+    assert 700 <= dist["train"] <= 880          # ~800 ± binomial noise
+    # stability: the first 100 ids keep their labels inside a smaller df
+    sub = {r.doc_id: r.split
+           for r in hash_split(df.where(F.col("doc_id") < 100), w,
+                               seed=7).collect()}
+    assert all(got[i] == sub[i] for i in sub)
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(df, {"train": 0.5, "val": 0.2})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(df, {})

@@ -72,6 +72,14 @@ CHECKS = {
     # hash-agg support), which is the expected operator here
     "embedding_neardup": ["MapInPandas", "BroadcastHashJoin",
                           "SortAggregate|HashAggregate"],
+    # map-only hash filter: no Exchange, the whole sample fuses into the
+    # scan's codegen stage
+    "stratified_sample": ["codegen id", "ReadSchema"],
+    # the row_number()<=quota filter must plan as WindowGroupLimit — the
+    # map-side per-group top-N that bounds skewed groups pre-shuffle
+    "group_quota": ["WindowGroupLimit", "Window"],
+    # map-only hash-range labeling: pure codegen, no Exchange
+    "hash_split": ["codegen id", "ReadSchema"],
     "star_view": ["HashAggregate", "ReadSchema"],
     "sessionize": ["Window", "HashAggregate"],
     "window_topk": ["Window", "ReadSchema"],
