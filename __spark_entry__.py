@@ -1556,6 +1556,22 @@ def _q_hash_split(spark, sf_dir):
         "doc_id", "split")
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality scoring gate (round-5): self-fit unigram LM
+    over documents, per-doc mean ln-probability. min_count=100 prunes the
+    corpus's one rare token ('dup', ~28 occurrences at gate scales) so the
+    OOV-floor path (pruned token -> p = 1/total) is exercised by the gate,
+    not just pytest. The oracle refits the LM and recomputes the scores
+    end-to-end in SQL; scores rounded to 6 dp on both sides."""
+    from quad_processor_util_spark.operators.scoring import (
+        unigram_logprob_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob_score(docs, min_count=100)
+    return out.select("doc_id", "n_tokens",
+                      F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
 def _q_repetition_metrics(spark, sf_dir):
     """Gopher/MassiveText-style repetition filters: duplicate-line fraction
     (count- and char-weighted), duplicate word-5-gram fraction, and the
@@ -1699,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "group_quota": _q_group_quota,
         "hash_split": _q_hash_split,
+        "unigram_logprob": _q_unigram_logprob,
         "tpch_q1": _q_tpch_q1,
         "star_join": _q_star_join,
         "stable_turn_order": _q_stable_turn_order,
@@ -2678,6 +2695,31 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT
                          % 1000000 AS h
                   FROM documents)
+        """,
+        # refits the unigram LM and rescores end-to-end: same tokenization
+        # as the repetition oracles, HAVING >= 100 replays min_count
+        # pruning, OOV floor = 1/total via the coalesce
+        "unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x != '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok, count(*) AS cnt FROM toks
+              GROUP BY tok HAVING count(*) >= 100
+            ), tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+            scored AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     avg(ln(coalesce(v.cnt, 1) / (SELECT total FROM tot)))
+                       AS avg_lp
+              FROM toks t LEFT JOIN vocab v USING (tok)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(s.avg_lp, 6) AS avg_logprob
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "codepoint_order": """
             SELECT doc_id,

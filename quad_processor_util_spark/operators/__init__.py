@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     mapping,
     quadfilter,
     sampling,
+    scoring,
     similarity,
     sort,
 )

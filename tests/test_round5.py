@@ -410,3 +410,52 @@ def test_hash_split_stable_total_and_weighted(spark):
         hash_split(df, {"train": 0.5, "val": 0.2})
     with pytest.raises(ValueError, match="non-empty"):
         hash_split(df, {})
+
+
+def test_unigram_logprob_hand_case(spark):
+    """Hand-computable LM: counts a=2,b=1,c=1, total=4 at min_count=1;
+    with min_count=2 the vocab collapses to {a} (total=2) and b/c hit the
+    OOV floor 1/total. Empty docs get n_tokens=0 and a NULL score."""
+    import math
+
+    from quad_processor_util_spark.operators.scoring import (
+        unigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a A b"), (2, "c"), (3, "   ")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.avg_logprob)
+           for r in unigram_logprob_score(docs).collect()}
+    assert got[1][0] == 3 and got[2][0] == 1 and got[3] == (0, None)
+    assert got[1][1] == pytest.approx(
+        (2 * math.log(2 / 4) + math.log(1 / 4)) / 3)
+    assert got[2][1] == pytest.approx(math.log(1 / 4))
+
+    pruned = {r.doc_id: r.avg_logprob
+              for r in unigram_logprob_score(docs, min_count=2).collect()}
+    assert pruned[1] == pytest.approx(
+        (2 * math.log(2 / 2) + math.log(1 / 2)) / 3)
+    assert pruned[2] == pytest.approx(math.log(1 / 2))  # OOV floor
+    with pytest.raises(ValueError, match=">= 1"):
+        unigram_logprob_score(docs, min_count=0)
+
+
+def test_unigram_logprob_fit_on_reference_corpus(spark):
+    """Scoring against a separate fit corpus: tokens unseen in the
+    reference land on the OOV floor, in-reference tokens use reference
+    counts — the CCNet shape (fit on clean corpus, score the crawl)."""
+    import math
+
+    from quad_processor_util_spark.operators.scoring import (
+        unigram_logprob_score,
+    )
+
+    reference = spark.createDataFrame(
+        [(0, "x x x y")], "doc_id long, text string")
+    crawl = spark.createDataFrame(
+        [(1, "x zz")], "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob
+           for r in unigram_logprob_score(
+               crawl, fit_on=reference).collect()}
+    assert got[1] == pytest.approx(
+        (math.log(3 / 4) + math.log(1 / 4)) / 2)

@@ -80,6 +80,10 @@ CHECKS = {
     "group_quota": ["WindowGroupLimit", "Window"],
     # map-only hash-range labeling: pure codegen, no Exchange
     "hash_split": ["codegen id", "ReadSchema"],
+    # LM fit (one HashAggregate shuffle) + broadcast vocab/totals into the
+    # score pass — the corpus side must never shuffle for the join
+    "unigram_logprob": ["HashAggregate", "BroadcastHashJoin",
+                        "BroadcastNestedLoopJoin"],
     "star_view": ["HashAggregate", "ReadSchema"],
     "sessionize": ["Window", "HashAggregate"],
     "window_topk": ["Window", "ReadSchema"],
