@@ -1572,6 +1572,35 @@ def _q_unigram_logprob(spark, sf_dir):
                       F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+def _q_shuffle_rank(spark, sf_dir):
+    """Deterministic global training-order shuffle (round-5): every doc
+    gets its 0-based position in md5(id:seed) order via the two-pass
+    distributed scan (range-bucket on the key's high bits -> per-bucket
+    window -> broadcast bucket offsets) — no single-partition window.
+    The oracle replays the order with one global row_number (fine at
+    gate scale)."""
+    from quad_processor_util_spark.operators.packing import shuffle_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_rank(docs.select("doc_id"), seed=7, n_buckets=16) \
+        .select("doc_id", "shuffle_pos")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (round-5): documents
+    laid end-to-end in the deterministic shuffle order, cut every 512
+    tokens; one row per (doc x block) slice. Same whitespace tokenizer as
+    the repetition/unigram gates. The oracle replays the layout with a
+    global cumsum + generate_series explode."""
+    from quad_processor_util_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                        lambda w: w != "")).alias("n_tokens"))
+    return pack_sequences(docs, block_tokens=512, seed=7, n_buckets=16)
+
+
 def _q_repetition_metrics(spark, sf_dir):
     """Gopher/MassiveText-style repetition filters: duplicate-line fraction
     (count- and char-weighted), duplicate word-5-gram fraction, and the
@@ -1716,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quota": _q_group_quota,
         "hash_split": _q_hash_split,
         "unigram_logprob": _q_unigram_logprob,
+        "shuffle_rank": _q_shuffle_rank,
+        "pack_sequences": _q_pack_sequences,
         "tpch_q1": _q_tpch_q1,
         "star_join": _q_star_join,
         "stable_turn_order": _q_stable_turn_order,
@@ -2720,6 +2751,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
                    round(s.avg_lp, 6) AS avg_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # replays the deterministic shuffle order (md5-60bit key, id
+        # tiebreak) with one global row_number — the distributed
+        # bucket+offset scan must equal the naive total order
+        "shuffle_rank": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY CAST(('0x' || substr(md5(doc_id || ':7'), 1, 15))
+                              AS BIGINT), doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
+        """,
+        # concat-and-chunk replay: same tokenizer as the repetition
+        # oracles, global exclusive cumsum over the shuffle order, block
+        # span exploded via generate_series
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x != '')) AS BIGINT) AS n,
+                     CAST(('0x' || substr(md5(doc_id || ':7'), 1, 15))
+                          AS BIGINT) AS k
+              FROM documents
+            ), p AS (
+              SELECT doc_id, n,
+                     CAST(coalesce(sum(n) OVER (ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS s
+              FROM d WHERE n > 0
+            ), x AS (
+              SELECT doc_id, s, s + n AS e,
+                     unnest(generate_series(s // 512, (s + n - 1) // 512))
+                       AS seq_id
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT)
+                     AS block_offset,
+                   CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS tok_start,
+                   CAST(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512)
+                        AS BIGINT) AS slice_len
+            FROM x
         """,
         "codepoint_order": """
             SELECT doc_id,

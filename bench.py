@@ -89,6 +89,11 @@ def main() -> None:
         "quad_parse",
         "salted_join",
         "connected_components",
+        # round-5 additions (keys are additive — earlier BENCH_r*.json
+        # comparability is per-key)
+        "unigram_logprob",
+        "shuffle_rank",
+        "pack_sequences",
     ]
 
     # warm JVM codegen, shuffle, and Python-worker/Arrow paths once

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     joins,
     linking,
     mapping,
+    packing,
     quadfilter,
     sampling,
     scoring,

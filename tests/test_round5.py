@@ -459,3 +459,65 @@ def test_unigram_logprob_fit_on_reference_corpus(spark):
                crawl, fit_on=reference).collect()}
     assert got[1] == pytest.approx(
         (math.log(3 / 4) + math.log(1 / 4)) / 2)
+
+
+def _pk_key(i, seed):
+    import hashlib
+    return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:15], 16)
+
+
+def test_shuffle_rank_permutation_and_bucket_invariance(spark):
+    """Ranks are exactly 0..n-1 in md5(id:seed) order (replayed in pure
+    Python), and invariant to n_buckets — bucketing only splits a fixed
+    total order, it must never change it."""
+    from quad_processor_util_spark.operators.packing import shuffle_rank
+
+    ids = list(range(40))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.shuffle_pos
+           for r in shuffle_rank(df, seed=7, n_buckets=4).collect()}
+    expected = {i: pos for pos, i in
+                enumerate(sorted(ids, key=lambda i: (_pk_key(i, 7), i)))}
+    assert got == expected
+    got64 = {r.doc_id: r.shuffle_pos
+             for r in shuffle_rank(df, seed=7, n_buckets=64).collect()}
+    assert got64 == expected
+    assert sorted(got.values()) == list(range(40))
+    with pytest.raises(ValueError, match="power of two"):
+        shuffle_rank(df, n_buckets=12)
+
+
+def test_pack_sequences_matches_python_replay(spark):
+    """Full row-set equality against a sequential Python replay of
+    concat-and-chunk packing, plus the conservation laws: every token
+    emitted exactly once, every block except the last exactly full, and
+    zero/NULL-length docs dropped."""
+    from quad_processor_util_spark.operators.packing import pack_sequences
+
+    lens = {i: (i * 37) % 19 for i in range(30)}  # includes zeros
+    rows = [(i, lens[i] if i % 11 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    B = 16
+    got = sorted(tuple(r) for r in pack_sequences(
+        df, block_tokens=B, seed=7, n_buckets=4).collect())
+
+    order = sorted((i for i, n in rows if n), key=lambda i: (_pk_key(i, 7), i))
+    exp, cursor = [], 0
+    for i in order:
+        n = lens[i]
+        start, end = cursor, cursor + n
+        for seq in range(start // B, (end - 1) // B + 1):
+            lo, hi = max(start, seq * B), min(end, (seq + 1) * B)
+            exp.append((i, seq, lo - seq * B, lo - start, hi - lo))
+        cursor = end
+    assert got == sorted(exp)
+
+    total = sum(lens[i] for i, n in rows if n)
+    assert sum(r[4] for r in got) == total
+    per_seq = {}
+    for r in got:
+        per_seq[r[1]] = per_seq.get(r[1], 0) + r[4]
+    last = max(per_seq)
+    assert all(v == B for s, v in per_seq.items() if s != last)
+    with pytest.raises(ValueError, match=">= 1"):
+        pack_sequences(df, block_tokens=0)

@@ -84,6 +84,11 @@ CHECKS = {
     # score pass — the corpus side must never shuffle for the join
     "unigram_logprob": ["HashAggregate", "BroadcastHashJoin",
                         "BroadcastNestedLoopJoin"],
+    # two-pass distributed scan: per-bucket Window + broadcast of the
+    # n_buckets-row offset dimension — never a global one-partition sort
+    "shuffle_rank": ["Window", "BroadcastHashJoin"],
+    # same scaffold + the block-span explode
+    "pack_sequences": ["Window", "BroadcastHashJoin", "Generate"],
     "star_view": ["HashAggregate", "ReadSchema"],
     "sessionize": ["Window", "HashAggregate"],
     "window_topk": ["Window", "ReadSchema"],
