@@ -1592,12 +1592,12 @@ def _q_pack_sequences(spark, sf_dir):
     tokens; one row per (doc x block) slice. Same whitespace tokenizer as
     the repetition/unigram gates. The oracle replays the layout with a
     global cumsum + generate_series explode."""
+    from quad_processor_util_spark.functions.text import _words
     from quad_processor_util_spark.operators.packing import pack_sequences
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.filter(F.split(F.lower("text"), r"\s+"),
-                        lambda w: w != "")).alias("n_tokens"))
+        F.size(_words(F.lower(F.col("text")))).alias("n_tokens"))
     return pack_sequences(docs, block_tokens=512, seed=7, n_buckets=16)
 
 

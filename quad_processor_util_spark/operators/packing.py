@@ -42,47 +42,44 @@ WITHIN documents; packing concatenates ACROSS them).
 one broadcast join of an n_buckets-row dimension, and for packing a
 ``sequence()`` explode whose fan-out per row is ``1 + slices-1`` (a
 document spans ``ceil(n_tokens / block_tokens) + 1`` blocks at most —
-bounded, data-independent given a length cap upstream).
+bounded, data-independent given a length cap upstream). The bucket
+count/total branch is a second SCAN of the source, but Catalyst prunes
+it to just the id (+ token-count) column with map-side partial
+aggregation — one narrow column of extra I/O, not a second pass over
+the table's bytes (asserted in tests).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .sampling import KEY_BITS, seeded_key
 
 __all__ = ["shuffle_rank", "pack_sequences"]
 
-_KEY_BITS = 60  # 15 md5 hex chars, same route as operators.sampling
-
-
-def _order_key(id_col: Column, seed: int) -> Column:
-    """60-bit md5 order key (DuckDB-replayable:
-    ``('0x' || substr(md5(id || ':' || seed), 1, 15))::BIGINT``). Full
-    range — no modulus — so the induced order is as collision-free as
-    md5; ties (astronomically rare) break on the id itself."""
-    tagged = F.concat_ws(":", id_col.cast("string"), F.lit(str(seed)))
-    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
-
 
 def _bucketed(df: DataFrame, id_col: str, seed: int,
-              n_buckets: int) -> Tuple[DataFrame, int]:
-    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
+              n_buckets: int) -> DataFrame:
+    """Append the shared 60-bit order key (:func:`.sampling.seeded_key` —
+    full range, no modulus, so the induced order is as collision-free as
+    md5; ties break on the id itself, and a NULL id hashes as '' on both
+    the Spark and DuckDB sides) plus its high-bits range bucket."""
+    if (n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0
+            or n_buckets > (1 << KEY_BITS)):
         raise ValueError(
             "packing: n_buckets must be a positive power of two "
-            f"(got {n_buckets}) so buckets are exact key ranges")
+            f"<= 2^{KEY_BITS} (got {n_buckets}) so buckets are exact "
+            "key ranges")
     bits = n_buckets.bit_length() - 1
-    key = _order_key(F.col(id_col), seed)
+    key = seeded_key(F.col(id_col), seed)
     # high bits => bucket order == key order (range bucketing without the
     # sampling job repartitionByRange would run); shiftright keeps the
     # arithmetic in long range where key * n_buckets would overflow
     return (
         df.withColumn("_pk_key", key)
           .withColumn("_pk_bucket",
-                      F.shiftright(F.col("_pk_key"), _KEY_BITS - bits)
-                      if bits else F.lit(0)),
-        bits,
-    )
+                      F.shiftright(F.col("_pk_key"), KEY_BITS - bits)
+                      if bits else F.lit(0)))
 
 
 def shuffle_rank(
@@ -101,10 +98,19 @@ def shuffle_rank(
     fix training order (``ORDER BY shuffle_pos``) or as the preference
     order for :func:`~.sampling.group_quota`.
     """
-    b, _ = _bucketed(df, id_col, seed, n_buckets)
+    b = _bucketed(df, id_col, seed, n_buckets)
     w = Window.partitionBy("_pk_bucket").orderBy("_pk_key", id_col)
     local = b.withColumn("_pk_local", F.row_number().over(w) - F.lit(1))
-    counts = b.groupBy("_pk_bucket").agg(F.count(F.lit(1)).alias("_pk_n"))
+    # The counts branch IS a second pass over the source — deliberate.
+    # Catalyst prunes it to an id-only scan with map-side partial counts
+    # (verified ReadSchema struct<doc_id> vs the full row on the main
+    # branch; tested), so pass 2 costs one column's I/O + md5 and ships
+    # n_buckets partial rows. ReuseExchange can't fire here (that same
+    # pruning makes the two exchanges canonically different), and
+    # persisting the bucketed corpus to save an id-column re-read is the
+    # bigger-than-input-cache trap measured in the jaccard A/B.
+    counts = local.groupBy("_pk_bucket") \
+        .agg(F.count(F.lit(1)).alias("_pk_n"))
     off_w = Window.orderBy("_pk_bucket") \
         .rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -147,7 +153,7 @@ def pack_sequences(
     """
     if block_tokens < 1:
         raise ValueError("pack_sequences: block_tokens must be >= 1")
-    b, _ = _bucketed(
+    b = _bucketed(
         df.where(F.col(n_tokens_col).cast("long") > 0), id_col, seed,
         n_buckets)
     n_tok = F.col(n_tokens_col).cast("long")
@@ -156,7 +162,9 @@ def pack_sequences(
     local = b.select(
         id_col, "_pk_bucket", "_pk_key", n_tok.alias("_pk_len"),
         F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("_pk_cum"))
-    totals = b.groupBy("_pk_bucket").agg(F.sum(n_tok).alias("_pk_t"))
+    # deliberate second pass, pruned to (id, n_tokens) — see shuffle_rank
+    totals = local.groupBy("_pk_bucket") \
+        .agg(F.sum("_pk_len").alias("_pk_t"))
     off_w = Window.orderBy("_pk_bucket") \
         .rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

@@ -35,24 +35,33 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "group_quota", "hash_split"]
+__all__ = ["stratified_sample", "group_quota", "hash_split", "seeded_key"]
 
 # fraction/weight resolution: 1e-6 in 60 hash bits keeps the modulus
 # comfortably unbiased (2^60 / 1e6 ≈ 1.15e12 full cycles)
 _DENOM = 1_000_000
 
+KEY_BITS = 60  # 15 md5 hex chars
+
+
+def seeded_key(id_col: Column, seed: int) -> Column:
+    """The ONE seeded-hash key route shared by sampling and packing: first
+    15 md5 hex chars of ``id:seed`` as a 60-bit int (DuckDB-replayable:
+    ``('0x' || substr(md5(coalesce(id::VARCHAR, '') || ':seed'), 1,
+    15))::BIGINT``). The seed is concatenated, not added, so distinct
+    seeds give independent draws over the same ids. A NULL id hashes as
+    the empty string (coalesce on BOTH sides — without it Spark's
+    concat_ws would skip the NULL while DuckDB's ``||`` would yield NULL,
+    silently forking the two orderings)."""
+    tagged = F.concat_ws(
+        ":", F.coalesce(id_col.cast("string"), F.lit("")), F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+
 
 def _unit_hash(id_col: Column, seed: int) -> Column:
-    """Deterministic uniform draw in [0, _DENOM) from a row id — first 15
-    md5 hex chars as a 60-bit int (DuckDB-replayable:
-    ``('0x' || substr(md5(id::VARCHAR || ':seed'), 1, 15))::BIGINT``),
-    reduced mod _DENOM. The seed is concatenated, not added, so distinct
-    seeds give independent draws over the same ids."""
-    tagged = F.concat_ws(":", id_col.cast("string"), F.lit(str(seed)))
-    return (
-        F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
-        % _DENOM
-    )
+    """Deterministic uniform draw in [0, _DENOM): :func:`seeded_key`
+    reduced mod _DENOM."""
+    return seeded_key(id_col, seed) % _DENOM
 
 
 def stratified_sample(

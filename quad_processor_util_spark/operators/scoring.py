@@ -33,14 +33,16 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import _words
+
 __all__ = ["unigram_logprob_score"]
 
 
 def _tokens(text_col):
-    # same whitespace tokenization as functions.text (Java \s+ split, empty
-    # strings filtered — parity with the DuckDB oracles is established by
-    # the repetition_metrics gate family)
-    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
+    # THE whitespace tokenizer (functions.text._words: Java \s+ split,
+    # empty strings filtered), lowercased — one definition shared with the
+    # repetition/quality gates so a tokenizer fix can't desynchronize them
+    return _words(F.lower(text_col))
 
 
 def unigram_logprob_score(

@@ -521,3 +521,58 @@ def test_pack_sequences_matches_python_replay(spark):
     assert all(v == B for s, v in per_seq.items() if s != last)
     with pytest.raises(ValueError, match=">= 1"):
         pack_sequences(df, block_tokens=0)
+
+
+def test_packing_count_branch_is_column_pruned(spark, tmp_path):
+    """The bucket-counts branch is a deliberate second pass, but Catalyst
+    must prune it to an id-only scan (map-side partial counts) — if a code
+    change ever drags full rows through that branch, pass 2 stops being
+    one narrow column of I/O and the 100 TB claim in the module docstring
+    goes false. (Parquet source: pruning only shows in a ReadSchema.)"""
+    import re
+
+    from quad_processor_util_spark.operators.packing import shuffle_rank
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "x" * 50, "en") for i in range(20)],
+        "doc_id long, text string, lang string").write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = shuffle_rank(docs, seed=7, n_buckets=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (struct<[^>\n]*>)", plan)
+    assert len(schemas) == 2, plan
+    assert any(s == "struct<doc_id:bigint>" for s in schemas), schemas
+    assert any("text" in s for s in schemas), schemas
+
+
+def test_packing_n_buckets_beyond_key_bits_rejected(spark):
+    """2^61 is a power of two but exceeds the 60-bit key: shiftright would
+    get a negative count (masked to 63 by the JVM) and silently collapse
+    every row into bucket 0 — must raise, not degrade."""
+    from quad_processor_util_spark.operators.packing import shuffle_rank
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="2\\^60"):
+        shuffle_rank(df, n_buckets=2 ** 61)
+    # 2^60 itself is a legal (degenerate) bucket count: shift of zero
+    assert shuffle_rank(df, n_buckets=2 ** 60).count() == 1
+
+
+def test_seeded_key_null_id_hashes_as_empty_string(spark):
+    """Shared key route (sampling.seeded_key, used by packing): a NULL id
+    must hash as '' — the DuckDB-side spelling coalesce(id,'')||':seed' —
+    not be silently skipped by concat_ws, which would fork the Spark and
+    oracle orderings on NULL ids."""
+    import hashlib
+
+    from quad_processor_util_spark.operators.sampling import seeded_key
+
+    df = spark.createDataFrame([(None,), ("a",)], "doc_id string")
+    got = {r.doc_id: r.k for r in
+           df.select("doc_id", seeded_key(F.col("doc_id"), 7).alias("k"))
+           .collect()}
+    exp_null = int(hashlib.md5(b":7").hexdigest()[:15], 16)
+    exp_a = int(hashlib.md5(b"a:7").hexdigest()[:15], 16)
+    assert got[None] == exp_null
+    assert got["a"] == exp_a
