@@ -1601,6 +1601,31 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, block_tokens=512, seed=7, n_buckets=16)
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-fit inner statistic (round-5): corpus-weighted
+    adjacent-character pair counts over the word-frequency table — the
+    argmax of this table is BPE merge #1. Top 50 in the fit's own
+    deterministic (count DESC, left, right) order. The iterative fit
+    itself (operators.bpe.fit_bpe) is pytest-covered against a sequential
+    reference — the SURVEY-sanctioned split for iterative algorithms."""
+    from quad_processor_util_spark.operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Substring-level dedup (round-5): spans of winnow-selected k-grams
+    shared by >= 2 documents, merged per doc (Lee-et-al-style duplicated-
+    passage flagging via the Schleimer fingerprint route — the scalable
+    stand-in for a corpus suffix array). The oracle replays the full
+    chain: winnow occurrences with recovered positions -> shared-fp
+    inverted index -> gaps-and-islands interval merge."""
+    from quad_processor_util_spark.operators.spans import duplicate_spans
+
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=7, window=4, min_docs=2)
+
+
 def _q_repetition_metrics(spark, sf_dir):
     """Gopher/MassiveText-style repetition filters: duplicate-line fraction
     (count- and char-weighted), duplicate word-5-gram fraction, and the
@@ -1719,13 +1744,12 @@ def _q_quality_score(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks at most the FIRST 50 entries per
-    # round, and 64 are registered. Round 4 left 8 queries without a
+    # round, and 69 are registered. Round 4 left 8 queries without a
     # CORRECTNESS_r04 row (they were green in r03); per the round-4 verdict
     # they now run FIRST — followed by the round-5 gates — so
-    # CORRECTNESS r04 ∪ r05 covers every registered query. The 14 displaced
-    # into the tail (camelcase_mint, fuzzy_link, codepoint_order,
-    # prefix_histogram, snapshots_union, group_runs .. rdf_json) all have
-    # green r04 rows. Rotation documented in COVERAGE.md.
+    # CORRECTNESS r04 ∪ r05 covers every registered query. The 19 displaced
+    # into the tail (star_view, window_topk, token_stats .. rdf_json) all
+    # have green r04 rows. Rotation documented in COVERAGE.md.
     return {
         "prefixed_name": _q_prefixed_name,
         "int_hex": _q_int_hex,
@@ -1747,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "shuffle_rank": _q_shuffle_rank,
         "pack_sequences": _q_pack_sequences,
+        "bpe_pairs": _q_bpe_pairs,
+        "dup_spans": _q_dup_spans,
         "tpch_q1": _q_tpch_q1,
         "star_join": _q_star_join,
         "stable_turn_order": _q_stable_turn_order,
@@ -1822,12 +1848,17 @@ _EXTRACT_CORE_SQL = f"""SELECT {_PIRIS_SQL}[(event_id % 4 + 1)::INT] AS subject,
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
-def _winnow_sql(k: int, window: int) -> str:
+def _winnow_sql(k: int, window: int, with_pos: bool = False) -> str:
     """DuckDB replay of functions.text.winnow_fingerprints(k, window) over
     the documents table — shared by the winnow_fp gate (k=7, window=4) and,
     at k=20, by the decontaminate gate's oracle (the larger k makes the
     contaminated boolean discriminative over the small-vocabulary synthetic
-    texts — see _q_decontaminate)."""
+    texts — see _q_decontaminate). ``with_pos`` adds the 1-based selected
+    position recovered from the packed key (winnow_occurrences parity, the
+    dup_spans oracle's input)."""
+    pos_col = ""
+    if with_pos:
+        pos_col = ", CAST(1048575 - (sel % 1048576) AS BIGINT) AS pos"
     return f"""
             WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
             g0 AS (
@@ -1846,7 +1877,7 @@ def _winnow_sql(k: int, window: int) -> str:
                              ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS sel
               FROM g
             )
-            SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp
+            SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp{pos_col}
             FROM s WHERE pos <= greatest(m - {window - 1}, 1)
 """
 
@@ -2793,6 +2824,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512)
                         AS BIGINT) AS slice_len
             FROM x
+        """,
+        # refits the BPE merge-#1 statistic end-to-end: same whitespace
+        # tokenizer as the repetition/unigram oracles, word-frequency
+        # weighting, adjacent char pairs via generate_series; the
+        # (count DESC, left, right) tie-break makes the top-50 set unique
+        "bpe_pairs": r"""
+            WITH wc AS (
+              SELECT word, count(*) AS freq
+              FROM (SELECT unnest(list_filter(
+                             string_split_regex(lower(text), '\s+'),
+                             x -> x != '')) AS word
+                    FROM documents)
+              GROUP BY word
+            ), pairs AS (
+              SELECT freq,
+                     substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r
+              FROM (SELECT word, freq,
+                           unnest(generate_series(1, len(word) - 1)) AS i
+                    FROM wc WHERE len(word) >= 2)
+            )
+            SELECT l AS "left", r AS "right",
+                   CAST(sum(freq) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY l, r
+            ORDER BY pair_count DESC, "left", "right" LIMIT 50
+        """,
+        # replays the whole substring-dedup chain: winnow occurrences WITH
+        # recovered positions (shared _winnow_sql core) -> fingerprints in
+        # >= 2 distinct docs -> inverted-index join -> gaps-and-islands
+        # interval merge (break when the gap since the previous selected
+        # gram exceeds k=7; first row's NULL lag breaks, same as Spark's
+        # otherwise(1))
+        "dup_spans": f"""
+            WITH occ AS ({_winnow_sql(7, 4, with_pos=True)}),
+            shared AS (
+              SELECT fp FROM occ
+              GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT o.doc_id, o.pos FROM occ o JOIN shared USING (fp)
+            ), brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 7
+                          THEN 0 ELSE 1 END AS b
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM brk
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM isl GROUP BY doc_id, g
         """,
         "codepoint_order": """
             SELECT doc_id,

@@ -94,22 +94,11 @@ def fingerprint(col: Column) -> Column:
 _WINNOW_POS_SPAN = 1 << 20  # docs are chunked upstream; 1M-char guard
 
 
-def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 7, window: int = 4):
-    """-> (id_col, fp): robust-winnowing fingerprint set per document —
-    character k-gram hashes, one selected per sliding window of `window`
-    consecutive grams (the min, ties to the rightmost), distinct.
-
-    The classic guarantee: any shared substring of length >= k + window - 1
-    between two documents yields at least one shared fingerprint, while
-    storage is ~2/(window+1) of all grams. Dup candidates then come from an
-    inverted-index join on fp (tiny vs full shingle sets).
-
-    All pure Catalyst expressions: one posexplode over gram positions, one
-    window MIN over a packed (hash, -pos) key, one distinct. The k-gram
-    hash is the portable md5-prefix (same as the gate dedup variants), so
-    DuckDB replays this exactly. For >1M-char documents chunk upstream
-    (the pos packing reserves 20 bits)."""
+def _winnow_selected(df, text_col: str, id_col: str, k: int, window: int,
+                     with_pos: bool):
+    """Shared winnow core: normalize, hash k-grams, window-MIN the packed
+    (hash, rightmost-tie) key. ONE definition — the fp-only and
+    fp-with-position public views below cannot drift."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -145,11 +134,48 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
     w = W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
     sel = (
         g.select(id_col, "__m", "__pos", F.min(key).over(w).alias("__sel"))
-        .where(F.col("__pos") <= F.greatest(F.col("__m") - (window - 1), F.lit(1)))
-        .select(id_col, F.expr(f"__sel div {_WINNOW_POS_SPAN}").alias("fp"))
-        .distinct()
+        .where(F.col("__pos")
+               <= F.greatest(F.col("__m") - (window - 1), F.lit(1)))
     )
-    return sel
+    fp = F.expr(f"__sel div {_WINNOW_POS_SPAN}").alias("fp")
+    if with_pos:
+        # recovered from the packed key, so pos can never disagree with fp
+        return sel.select(
+            id_col, fp,
+            (F.lit(_WINNOW_POS_SPAN - 1)
+             - F.col("__sel") % _WINNOW_POS_SPAN).cast("long").alias("pos")
+        ).distinct()
+    return sel.select(id_col, fp).distinct()
+
+
+def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 7, window: int = 4):
+    """-> (id_col, fp): robust-winnowing fingerprint set per document —
+    character k-gram hashes, one selected per sliding window of `window`
+    consecutive grams (the min, ties to the rightmost), distinct.
+
+    The classic guarantee: any shared substring of length >= k + window - 1
+    between two documents yields at least one shared fingerprint, while
+    storage is ~2/(window+1) of all grams. Dup candidates then come from an
+    inverted-index join on fp (tiny vs full shingle sets).
+
+    All pure Catalyst expressions: one posexplode over gram positions, one
+    window MIN over a packed (hash, -pos) key, one distinct. The k-gram
+    hash is the portable md5-prefix (same as the gate dedup variants), so
+    DuckDB replays this exactly. For >1M-char documents chunk upstream
+    (the pos packing reserves 20 bits)."""
+    return _winnow_selected(df, text_col, id_col, k, window, with_pos=False)
+
+
+def winnow_occurrences(df, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 7, window: int = 4):
+    """-> (id_col, fp, pos): :func:`winnow_fingerprints` WITH the 1-based
+    position (in the NORMALIZED text — lowercased, trimmed, whitespace
+    collapsed) of each selected k-gram, distinct per (doc, fp, pos). Same
+    selection, same guarantees — the variant span-level consumers
+    (``operators.spans``) need, where the fingerprint alone cannot point
+    back into the document."""
+    return _winnow_selected(df, text_col, id_col, k, window, with_pos=True)
 
 
 # ---------------------------------------------------------------------------

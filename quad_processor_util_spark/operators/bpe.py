@@ -1,0 +1,176 @@
+"""Distributed BPE tokenizer fitting for training-data pipelines.
+
+Byte-pair-encoding vocabulary training is the canonical "one more pass
+over the whole corpus" a data pipeline owes the model team. The classic
+algorithm (Sennrich et al. 2016) is inherently iterative — count adjacent
+symbol pairs, merge the most frequent, repeat — but its distributed shape
+is well known (it is how SentencePiece/HF tokenizers scale): the corpus
+is folded into a WORD-FREQUENCY table first (Heaps-law sublinear — the
+one corpus-sized shuffle), and every merge iteration then runs over that
+small vocabulary table only, never re-touching the corpus.
+
+- :func:`bpe_pair_counts` — the single-pass inner statistic: weighted
+  adjacent-character pair counts over the corpus (the "which merge would
+  be first" table). One corpus shuffle + one vocabulary-sized shuffle;
+  fully SQL-replayable, so this is the gated surface.
+- :func:`fit_bpe` — the full iterative fit: ``n_merges`` rounds of
+  pair-count → argmax → greedy left-to-right merge over the symbolized
+  vocabulary. Each round shuffles only the vocabulary table; the single
+  driver-side datum per round is the ONE argmax row (bounded — the same
+  threshold-probe discipline as ``cc.py``). Deterministic: ties break on
+  (count DESC, left ASC, right ASC), so two runs (or two cluster sizes)
+  produce the identical merge sequence. Covered by pytest against a
+  sequential pure-Python reference; the iterative loop is not
+  SQL-expressible in one query, which is exactly the
+  weaker-rows-only-check case SURVEY.md reserves for iterative
+  algorithms — its inner statistic is gated instead (``bpe_pairs``).
+
+Tokenization parity: words come from the shared whitespace tokenizer
+(``functions.text._words`` over lowercased text), the same route every
+repetition/unigram gate replays in DuckDB.
+
+100 TB stance: the corpus is touched ONCE (word-count groupBy with
+map-side combine); all iteration state is the vocabulary table, which is
+``localCheckpoint``-ed eagerly each round so the plan does not grow with
+the merge count, and whose size only shrinks (merges never add rows).
+No per-row Python anywhere — the merge application is a Catalyst
+``aggregate`` fold over each word's symbol array.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import _words
+
+__all__ = ["bpe_pair_counts", "fit_bpe"]
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """-> (word, freq): the one corpus-sized pass."""
+    return (
+        docs.select(F.explode(_words(F.lower(F.col(text_col))))
+                    .alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: Optional[int] = None,
+) -> DataFrame:
+    """-> (left, right, pair_count BIGINT): corpus-weighted counts of
+    adjacent CHARACTER pairs within words — the statistic whose argmax is
+    BPE merge #1.
+
+    Counted over the word-frequency table, so a word occurring a million
+    times costs one row, and positions come from a ``sequence`` explode
+    bounded by word length. With ``top_n`` the result is the first N pairs
+    in (pair_count DESC, left ASC, right ASC) order — the same
+    deterministic tie-break :func:`fit_bpe` uses.
+    """
+    wc = _word_counts(docs, text_col)
+    pairs = (
+        wc.where(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1))
+            .alias("i"),
+            F.col("word"),
+        )
+        .select(
+            "freq",
+            F.expr("substr(word, i, 1)").alias("left"),
+            F.expr("substr(word, i + 1, 1)").alias("right"),
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    if top_n is not None:
+        # deterministic global order; TakeOrderedAndProject, no full sort
+        pairs = pairs.orderBy(
+            F.col("pair_count").desc(), "left", "right").limit(int(top_n))
+    return pairs
+
+
+# greedy left-to-right merge of one (l, r) pair inside a symbol array,
+# as a Catalyst fold: append each symbol, but when the accumulator tail
+# is `l` and the incoming symbol is `r`, replace the tail with `l||r`.
+# element_at over `acc` is indexing the (small) accumulator value, not
+# re-evaluating an expensive source expression — outside the HOF codegen
+# trap measured in functions/text.py.
+_MERGE_FOLD = """
+aggregate(
+  syms,
+  cast(array() as array<string>),
+  (acc, x) -> if(size(acc) > 0 and element_at(acc, -1) = '{l}'
+                 and x = '{r}',
+                 concat(slice(acc, 1, size(acc) - 1), array('{lr}')),
+                 concat(acc, array(x))))
+"""
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def fit_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> Tuple[List[tuple], DataFrame]:
+    """Fit ``n_merges`` BPE merges on the corpus; returns
+    ``(merges, vocab)`` where ``merges`` is a list of
+    ``(step, left, right, merged, pair_count)`` tuples (driver-side by
+    construction — one bounded argmax row per round) and ``vocab`` the
+    final symbolized word table ``(word, freq, syms array<string>)``.
+
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (a merge seen once is noise). The merge list
+    is the training artifact — apply it with any standard BPE encoder;
+    symbols are plain character concatenations (no end-of-word marker, a
+    documented simplification — add a sentinel column upstream if the
+    recipe needs one).
+    """
+    if n_merges < 0:
+        raise ValueError("fit_bpe: n_merges must be >= 0")
+    if min_pair_count < 1:
+        raise ValueError("fit_bpe: min_pair_count must be >= 1")
+    vocab = _word_counts(docs, text_col).select(
+        "word", "freq",
+        F.expr("filter(split(word, ''), x -> x != '')").alias("syms"))
+    # eager: the loop below re-reads `vocab` each round; without a
+    # materialization barrier every iteration would replay the whole
+    # lineage (corpus scan + all prior merges)
+    vocab = vocab.localCheckpoint(eager=True)
+
+    merges: List[tuple] = []
+    for step in range(n_merges):
+        best = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS l, "
+                    "element_at(syms, i + 1) AS r))")).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()  # ONE row: the bounded per-round driver datum
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((step, l, r, l + r, cnt))
+        fold = _MERGE_FOLD.format(
+            l=_sql_quote(l), r=_sql_quote(r), lr=_sql_quote(l + r))
+        vocab = vocab.select(
+            "word", "freq", F.expr(fold).alias("syms"))
+        vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab

@@ -576,3 +576,154 @@ def test_seeded_key_null_id_hashes_as_empty_string(spark):
     exp_a = int(hashlib.md5(b"a:7").hexdigest()[:15], 16)
     assert got[None] == exp_null
     assert got["a"] == exp_a
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer fitting (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, n_merges, min_pair_count=2):
+    """Sequential reference BPE: word counts -> iterate (pair count,
+    argmax with (count desc, left, right) tie-break, greedy left-to-right
+    merge). Mirrors Sennrich et al.'s published algorithm."""
+    import collections
+    import re
+
+    wc = collections.Counter(
+        w for t in texts for w in re.split(r"\s+", t.lower()) if w)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for step in range(n_merges):
+        pairs = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(),
+                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_pair_count:
+            break
+        merges.append((step, l, r, l + r, cnt))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, {w: vocab[w] for w in wc}
+
+
+def test_fit_bpe_matches_sequential_reference(spark):
+    """The distributed fit must reproduce the sequential algorithm's merge
+    sequence AND final symbolization exactly — including the deterministic
+    (count desc, left, right) tie-break and the greedy left-to-right merge
+    on repeated symbols ('aaa' + merge(a,a) -> [aa, a])."""
+    from quad_processor_util_spark.operators.bpe import fit_bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "low lower lowest slow slowly",
+        "aaa aaaa the the the",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges, vocab = fit_bpe(df, n_merges=8, min_pair_count=2)
+    exp_merges, exp_vocab = _py_bpe(texts, 8, min_pair_count=2)
+    assert merges == exp_merges
+    got_vocab = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got_vocab == exp_vocab
+    # merged symbols must actually appear multi-char
+    assert any(len(m[3]) > 2 for m in merges)
+
+
+def test_fit_bpe_early_stop_and_validation(spark):
+    """min_pair_count stops the loop when the best pair is noise; bad
+    arguments raise instead of degrading."""
+    from quad_processor_util_spark.operators.bpe import fit_bpe
+
+    df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    merges, _ = fit_bpe(df, n_merges=5, min_pair_count=2)
+    assert merges == []  # every pair occurs once
+    with pytest.raises(ValueError, match="n_merges"):
+        fit_bpe(df, n_merges=-1)
+    with pytest.raises(ValueError, match="min_pair_count"):
+        fit_bpe(df, n_merges=1, min_pair_count=0)
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    """Weighted char-pair counts over the word-frequency table: 'aa' in
+    'aaa' counts twice per occurrence, weights multiply by word frequency."""
+    from quad_processor_util_spark.operators.bpe import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "aaa bb"), (1, "aaa aaa bb cd")], "doc_id long, text string")
+    got = {(r.left, r.right): r.pair_count
+           for r in bpe_pair_counts(df).collect()}
+    # 'aaa' x3 -> (a,a) 2*3=6; 'bb' x2 -> (b,b) 2; 'cd' x1 -> (c,d) 1
+    assert got == {("a", "a"): 6, ("b", "b"): 2, ("c", "d"): 1}
+    top = bpe_pair_counts(df, top_n=2).collect()
+    assert [(r.left, r.right) for r in top] == [("a", "a"), ("b", "b")]
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection (operators/spans.py)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_flags_shared_passage_only(spark):
+    """A passage >= k+window-1 chars shared by two docs yields a merged
+    span in BOTH docs covering it (cores, per the winnowing guarantee);
+    unique text yields no span. min_docs=3 drops a 2-doc duplicate."""
+    from quad_processor_util_spark.operators.spans import duplicate_spans
+
+    boiler = "all rights reserved worldwide forever"
+    texts = [
+        ("u1", f"completely original musings about gardens. {boiler}"),
+        ("u2", f"{boiler} and now a treatise on volcanic rocks."),
+        ("u3", "nothing shared here at all, purely unique content xyzzy."),
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    spans = duplicate_spans(df, k=7, window=4, min_docs=2)
+    rows = {r.doc_id: (r.span_start, r.span_end, r.n_grams)
+            for r in spans.collect()}
+    assert "u3" not in rows
+    assert set(rows) == {"u1", "u2"}
+    # u2: boilerplate starts at normalized pos 1
+    s2, e2, n2 = rows["u2"]
+    assert s2 >= 1 and e2 <= len(boiler) + 1 + 7 and n2 >= 1
+    # u1: span sits inside the boilerplate suffix
+    off = texts[0][1].index(boiler) + 1
+    s1, e1, _ = rows["u1"]
+    assert s1 >= off - 7 and e1 <= off + len(boiler) + 7
+    # at min_docs=3 the 2-doc duplicate disappears
+    assert duplicate_spans(df, min_docs=3).count() == 0
+    with pytest.raises(ValueError, match="min_docs"):
+        duplicate_spans(df, min_docs=1)
+
+
+def test_duplicate_spans_merges_touching_intervals(spark):
+    """Two identical docs: every selected gram is shared, so each doc
+    collapses to ONE span covering the whole normalized text (interval
+    merging), with n_grams = its winnow fingerprint occurrence count."""
+    from quad_processor_util_spark.functions.text import winnow_occurrences
+    from quad_processor_util_spark.operators.spans import duplicate_spans
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([("a", t), ("b", t)],
+                               "doc_id string, text string")
+    spans = duplicate_spans(df, k=7, window=4, min_docs=2).collect()
+    assert len(spans) == 2  # one merged span per doc
+    occ = winnow_occurrences(df, k=7, window=4)
+    n_occ = occ.where(F.col("doc_id") == "a").count()
+    # boundaries are winnowing CORES: the first selected gram sits in the
+    # first window (pos <= 4), the last at or after m - (window - 1)
+    m = len(t) - 7 + 1
+    for r in spans:
+        assert 1 <= r.span_start <= 4
+        assert m - 3 + 7 <= r.span_end <= m + 7
+        assert r.n_grams == n_occ
