@@ -493,6 +493,90 @@ def _q_stream_sessionize(spark, sf_dir):
     return spark.createDataFrame(final)
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup gate (§2.11, 4th streaming gate — the
+    streaming face of the batch U1 identity dedup): the transcripts table
+    is written TWICE into the stream directory (8 + 8 file drops, so the
+    two copies of every row land in different micro-batches at
+    maxFilesPerTrigger=8) → dropDuplicatesWithinWatermark on
+    (conv_id, turn_idx) with a delay spanning the whole event range —
+    state is never evicted during the drain, so the drained append sink
+    must equal batch DISTINCT exactly (production narrows the delay to
+    bound state; the guarantee narrows with it). Duplicates are identical
+    in every column, so first-occurrence semantics are deterministic."""
+    import tempfile
+
+    from quad_processor_util_spark.streaming.ingest import (
+        read_transcript_stream, run_stream_to_parquet, streaming_dedup,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    in_dir = os.path.join(workdir, "in")
+    out_dir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    tr = (_events_as_transcripts(spark, sf_dir)
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    tr.repartition(8).write.parquet(in_dir)
+    tr.repartition(8).write.mode("append").parquet(in_dir)
+    deduped = streaming_dedup(
+        read_transcript_stream(spark, in_dir),
+        ["conv_id", "turn_idx"], watermark_col="ts", delay="3650 days")
+    run_stream_to_parquet(deduped, out_dir, ckpt).awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "conv_id", "turn_idx", "role", "text")
+
+
+def _q_entity_pagerank(spark, sf_dir):
+    """Entity-importance gate (round-5): damped PageRank with dangling-mass
+    redistribution over the extracted worksAt KG (person -> org edges; all
+    orgs are dangling, so the redistribution path is load-bearing, not
+    decorative). 3 synchronous rounds, ranks rounded to 6 dp; the oracle
+    unrolls the 3 rounds as CTEs over the same extraction SQL — the
+    fixed-iteration face of an iterative algorithm, like the recursive-CTE
+    closure oracle of dedup_clusters."""
+    from quad_processor_util_spark.operators.pagerank import pagerank
+
+    quads = extract_quads(
+        _events_as_transcripts(spark, sf_dir), _GAZ, assume_bucketed=True)
+    edges = quads.select(F.col("subject").alias("src"),
+                         F.col("obj").alias("dst"))
+    pr = pagerank(edges, iterations=3)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unroll `iters` PageRank rounds as CTEs (the iteration count is
+    data, the SQL is mechanical — same pattern as _bpe_encode_oracle_sql)."""
+    parts = [f"""
+        WITH e AS (
+          SELECT DISTINCT subject AS src, obj AS dst
+          FROM ({_EXTRACT_CORE_SQL}) core
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                   FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        d{i} AS (SELECT coalesce(sum(r.rank), 0) AS mass
+                 FROM r{i - 1} r LEFT JOIN outdeg o ON r.node = o.src
+                 WHERE o.src IS NULL),
+        c{i} AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS c
+                 FROM e JOIN r{i - 1} r ON e.src = r.node
+                        JOIN outdeg o ON e.src = o.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT nodes.node,
+                        (1 - {damping}) / (SELECT n FROM nn)
+                        + {damping} * (coalesce(c.c, 0)
+                           + (SELECT mass FROM d{i}) / (SELECT n FROM nn))
+                          AS rank
+                 FROM nodes LEFT JOIN c{i} c USING (node))""")
+    parts.append(f"""
+        SELECT node, round(rank, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
+
+
 def _q_table_sidecar(spark, sf_dir):
     """File-sink + commit-metadata gate (S6, StreamSourceMetaData.scala:7-49
     header analog — round 4 upgrades it from pytest-only): write the
@@ -1626,6 +1710,68 @@ def _q_dup_spans(spark, sf_dir):
         _t(spark, sf_dir, "documents"), k=7, window=4, min_docs=2)
 
 
+# BPE merge list for the encode gate: fitted OFFLINE by the sequential
+# reference (== fit_bpe by test) on the sf0.01 documents table, 16 merges,
+# inlined as constants so the oracle replays the exact same tokenizer —
+# the fitted-IVF-centroids precedent. Recursion is real: mer<-m+er,
+# join<-jo+in<-(j+o, i+n), hash<-h+ash<-as+h<-a+s, row<-r+ow.
+_BPE_GATE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"),
+]
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """BPE tokenization at corpus scale (round-5): apply the inlined
+    fitted merge list to every document — zero-shuffle mapInPandas with a
+    per-partition word memo. Gate output is the exact per-doc token count
+    plus an md5 digest of the full ordered token stream; the oracle
+    replays Sennrich greedy merging in pure SQL via the doubled-separator
+    replace fold (each ' l  r ' -> ' lr ' replace consumes one flanking
+    space and restores it, so leftmost non-overlapping replace == the
+    greedy left-to-right merge scan; word gaps are 5-space runs no
+    whitespace-free pattern can cross)."""
+    from quad_processor_util_spark.operators.bpe import encode_bpe
+
+    out = encode_bpe(_t(spark, sf_dir, "documents"), _BPE_GATE_MERGES)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("toks_md5"))
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Generate the nested replace fold for _BPE_GATE_MERGES (the merge
+    list is data, the SQL is mechanical)."""
+    folds = "rep"
+    for l, r in _BPE_GATE_MERGES:
+        folds = f"replace({folds}, ' {l}  {r} ', ' {l}{r} ')"
+    return rf"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL THEN ''
+                      ELSE regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                 END AS norm
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 '  ' || regexp_replace(norm, '(.)', '\1  ', 'g') AS rep
+          FROM d
+        ), c AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split(replace({folds}, '     ', '  '), '  '),
+                   x -> x != '' AND x != ' ') AS toks
+          FROM r
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks, chr(31))) AS toks_md5
+        FROM c
+    """
+
+
 def _q_repetition_metrics(spark, sf_dir):
     """Gopher/MassiveText-style repetition filters: duplicate-line fraction
     (count- and char-weighted), duplicate word-5-gram fraction, and the
@@ -1744,12 +1890,12 @@ def _q_quality_score(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks at most the FIRST 50 entries per
-    # round, and 69 are registered. Round 4 left 8 queries without a
+    # round, and 72 are registered. Round 4 left 8 queries without a
     # CORRECTNESS_r04 row (they were green in r03); per the round-4 verdict
     # they now run FIRST — followed by the round-5 gates — so
-    # CORRECTNESS r04 ∪ r05 covers every registered query. The 19 displaced
-    # into the tail (star_view, window_topk, token_stats .. rdf_json) all
-    # have green r04 rows. Rotation documented in COVERAGE.md.
+    # CORRECTNESS r04 ∪ r05 covers every registered query. The 22 displaced
+    # into the tail (uri_to_iri .. rdf_json) all have green r04 rows.
+    # Rotation documented in COVERAGE.md.
     return {
         "prefixed_name": _q_prefixed_name,
         "int_hex": _q_int_hex,
@@ -1772,7 +1918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_rank": _q_shuffle_rank,
         "pack_sequences": _q_pack_sequences,
         "bpe_pairs": _q_bpe_pairs,
+        "bpe_encode": _q_bpe_encode,
         "dup_spans": _q_dup_spans,
+        "stream_dedup": _q_stream_dedup,
+        "entity_pagerank": _q_entity_pagerank,
         "tpch_q1": _q_tpch_q1,
         "star_join": _q_star_join,
         "stable_turn_order": _q_stable_turn_order,
@@ -2402,6 +2551,22 @@ def oracle_sql() -> dict[str, str]:
         "stream_extract": f"""
             SELECT DISTINCT * FROM ({_EXTRACT_CORE_SQL}) core
         """,
+        # 3 PageRank rounds unrolled as CTEs over the same extraction SQL;
+        # dangling (org) mass redistributed uniformly each round
+        "entity_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
+        # two full copies streamed in separate drops; the drained
+        # dedup-within-watermark sink (delay spans the data, no eviction)
+        # == one batch-distinct transcripts derivation
+        "stream_dedup": f"""
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) - 1
+                     AS INT) AS turn_idx,
+                   'user' AS role,
+                   {_PEOPLE_SQL}[(event_id % 4 + 1)::INT] || ' works at ' ||
+                   {_ORGS_SQL}[((event_id % 16) // 4 + 1)::INT] || '.' AS text
+            FROM events
+        """,
         # the stateful operator's FINAL per-conversation state after the
         # stream drains == the batch 30-minute-gap sessionization
         "stream_sessionize": """
@@ -2849,6 +3014,12 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY l, r
             ORDER BY pair_count DESC, "left", "right" LIMIT 50
         """,
+        # replays BPE tokenization end-to-end: doubled-separator symbol
+        # string, one replace() per fitted merge (leftmost non-overlapping
+        # replace == the greedy left-to-right merge scan on this
+        # representation), 5-space word gaps collapsed, token stream
+        # digested with the same chr(31) join as the Spark side
+        "bpe_encode": _bpe_encode_oracle_sql(),
         # replays the whole substring-dedup chain: winnow occurrences WITH
         # recovered positions (shared _winnow_sql core) -> fingerprints in
         # >= 2 distinct docs -> inverted-index join -> gaps-and-islands

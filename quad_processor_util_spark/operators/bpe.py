@@ -24,6 +24,14 @@ small vocabulary table only, never re-touching the corpus.
   SQL-expressible in one query, which is exactly the
   weaker-rows-only-check case SURVEY.md reserves for iterative
   algorithms — its inner statistic is gated instead (``bpe_pairs``).
+- :func:`encode_bpe` — apply a fitted merge list to the corpus (the
+  "tokenize everything" pass): per-doc BPE token stream + exact token
+  count. ZERO shuffle — one Arrow ``mapInPandas`` pass over documents
+  with a per-partition word→tokens memo (Zipf makes the hit rate high),
+  deliberately chosen over the distinct-words-then-join-back shape,
+  which costs two corpus-wide shuffles to save already-memoized CPU.
+  Driver gate ``bpe_encode`` replays the greedy merge fold in pure SQL
+  (doubled-separator ``replace`` — see :func:`encode_bpe` notes).
 
 Tokenization parity: words come from the shared whitespace tokenizer
 (``functions.text._words`` over lowercased text), the same route every
@@ -45,7 +53,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import _words
 
-__all__ = ["bpe_pair_counts", "fit_bpe"]
+__all__ = ["bpe_pair_counts", "fit_bpe", "encode_bpe"]
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -174,3 +182,122 @@ def fit_bpe(
             "word", "freq", F.expr(fold).alias("syms"))
         vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
+
+
+def _normalize_merges(merges) -> List[Tuple[str, str, str]]:
+    """Accept either ``fit_bpe`` tuples ``(step, l, r, merged, count)`` or
+    bare ``(l, r)`` pairs; -> ``[(l, r, l+r)]`` in application order."""
+    out: List[Tuple[str, str, str]] = []
+    for m in merges:
+        if len(m) >= 4 and isinstance(m[0], int):
+            l, r = m[1], m[2]
+        else:
+            l, r = m[0], m[1]
+        if not isinstance(l, str) or not isinstance(r, str) or not l or not r:
+            raise ValueError(f"encode_bpe: bad merge {m!r}")
+        if any(ch.isspace() for ch in l + r):
+            # whitespace inside a symbol would let a merge cross the word
+            # boundary the tokenizer just drew
+            raise ValueError(f"encode_bpe: whitespace in merge symbol {m!r}")
+        out.append((l, r, l + r))
+    return out
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    memo_cap: int = 1 << 20,
+) -> DataFrame:
+    """Apply a fitted BPE merge list to every document; ->
+    ``(id_col, tokens array<string>, n_tokens bigint)`` where ``tokens``
+    is the document's full BPE token stream (per-word token lists
+    concatenated in word order; concatenating a word's tokens restores
+    the word — BPE merges never cross the whitespace tokenizer's word
+    boundaries).
+
+    Semantics are Sennrich apply (the exact inverse view of
+    :func:`fit_bpe`): merges applied IN FIT ORDER, each as one greedy
+    left-to-right pass over the word's symbols (a run ``aaa`` under merge
+    ``(a,a)`` gives ``[aa, a]``). Words come from the same
+    lowercase-then-``\\s+``-split route as the fit, applied JVM-side so
+    the Python kernel never lowercases (Java/Python case-fold parity).
+
+    Plan shape — ZERO shuffle: documents are encoded in place by one
+    Arrow ``mapInPandas`` pass. Each partition keeps a word→tokens memo
+    (capped at ``memo_cap`` entries; Zipf token frequency makes the hit
+    rate high), and each merge is prefiltered with a substring test
+    (symbols are contiguous character runs of the original word, so
+    adjacency of ``l,r`` implies ``l+r`` occurs in the word — the test
+    is sound). The alternative shape — encode the DISTINCT words table
+    and join back — pays two corpus-wide shuffles (join + per-doc
+    regroup) to save CPU the memo already saves; at 100 TB the shuffles
+    dominate, so the in-place pass wins.
+
+    SQL replayability (the ``bpe_encode`` gate oracle): one greedy merge
+    pass equals leftmost non-overlapping string ``replace`` on the
+    doubled-separator symbol encoding ``'  s1  s2  ...  '`` with pattern
+    ``' l  r '`` -> ``' lr '`` — each match consumes one space from each
+    flank and the replacement restores both, so separators stay exactly
+    two spaces and contiguous matches chain just like the greedy scan.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    norm = _normalize_merges(merges)
+    if id_col not in docs.columns or text_col not in docs.columns:
+        raise ValueError(f"encode_bpe: need columns {id_col!r}, {text_col!r}")
+    prep = docs.select(
+        F.col(id_col),
+        _words(F.lower(F.col(text_col))).alias("_bpe_words"))
+    out_schema = StructType([
+        docs.schema[id_col],
+        StructField("tokens", ArrayType(StringType()), False),
+        StructField("n_tokens", LongType(), False),
+    ])
+
+    def _encode_partition(batches):
+        memo: dict = {}
+
+        def enc(w: str) -> list:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for l, r, lr in norm:
+                if len(syms) < 2:
+                    break
+                if lr not in w:
+                    continue
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                        out.append(lr)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            if len(memo) < memo_cap:
+                memo[w] = syms
+            return syms
+
+        for pdf in batches:
+            toks_out, n_out = [], []
+            for ws in pdf["_bpe_words"]:
+                flat: list = []
+                if ws is not None:
+                    for w in ws:
+                        flat.extend(enc(w))
+                toks_out.append(flat)
+                n_out.append(len(flat))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].reset_index(drop=True),
+                "tokens": toks_out,
+                "n_tokens": pd.Series(n_out, dtype="int64"),
+            })
+
+    return prep.mapInPandas(_encode_partition, schema=out_schema)

@@ -125,6 +125,36 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming face of the batch U1 identity
+    dedup (operators/dedup.py): keep the first occurrence of each key.
+
+    With ``watermark_col`` set, uses ``dropDuplicatesWithinWatermark`` so
+    per-key state is EVICTED once the watermark passes the key's event
+    time + ``delay`` — the 100 TB firehose path: state is bounded by the
+    key arrival rate × delay window, not by stream lifetime, and the
+    guarantee is correspondingly scoped (duplicates arriving within
+    ``delay`` of each other are dropped; a replay older than the
+    watermark may re-emit). Without it, plain ``dropDuplicates`` gives
+    the exact batch-distinct guarantee at the cost of unbounded state —
+    only for bounded replays/tests.
+
+    First-occurrence semantics make the drained output deterministic for
+    IDENTICAL duplicate rows regardless of which trigger wins the race;
+    rows that share keys but differ elsewhere drain nondeterministically
+    (whichever arrived first) — dedup on the full identity when exact
+    replay matters, as the gate does."""
+    if watermark_col is not None:
+        return (stream.withWatermark(watermark_col, delay)
+                .dropDuplicatesWithinWatermark(keys))
+    return stream.dropDuplicates(keys)
+
+
 def run_stream_to_parquet(
     quad_stream: DataFrame, out_path: str, checkpoint_path: str
 ):

@@ -670,6 +670,190 @@ def test_bpe_pair_counts_hand_case(spark):
     assert [(r.left, r.right) for r in top] == [("a", "a"), ("b", "b")]
 
 
+def _py_encode(text, merges):
+    """Sequential Sennrich apply (same greedy fold as _py_bpe)."""
+    import re
+
+    toks = []
+    for w in re.split(r"\s+", text.lower()):
+        if not w:
+            continue
+        syms = list(w)
+        for l, r in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_encode_bpe_round_trips_with_fit(spark):
+    """fit_bpe -> encode_bpe must equal the sequential reference encode on
+    every doc (order-sensitive token streams), and concatenating a doc's
+    tokens must restore its words (merges never cross word boundaries)."""
+    from quad_processor_util_spark.operators.bpe import encode_bpe, fit_bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "low lower lowest slow slowly",
+        "aaa aaaa the the the",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges, _ = fit_bpe(df, n_merges=8, min_pair_count=2)
+    got = {r.doc_id: (list(r.tokens), r.n_tokens)
+           for r in encode_bpe(df, merges).collect()}
+    pairs = [(m[1], m[2]) for m in merges]
+    for i, t in enumerate(texts):
+        exp = _py_encode(t, pairs)
+        assert got[i] == (exp, len(exp)), f"doc {i}"
+        assert "".join(got[i][0]) == t.replace(" ", "")
+
+
+def test_encode_bpe_hand_cases(spark):
+    """Recursive merges ((a,b) then (ab,c)), greedy runs ('aaaa' under
+    (a,a) -> [aa, aa]; 'aaa' -> [aa, a]), empty/NULL text -> zero tokens,
+    and fit_bpe's 5-tuples accepted directly."""
+    from quad_processor_util_spark.operators.bpe import encode_bpe
+
+    df = spark.createDataFrame(
+        [(0, "ababc abc x"), (1, "aaaa aaa"), (2, ""), (3, None),
+         (4, "  ab\tc  ")],
+        "doc_id long, text string")
+    merges = [("a", "b"), ("ab", "c")]
+    got = {r.doc_id: (list(r.tokens), r.n_tokens)
+           for r in encode_bpe(df, merges).collect()}
+    assert got[0] == (["ab", "abc", "abc", "x"], 4)
+    assert got[1] == (["a", "a", "a", "a", "a", "a", "a"], 7)
+    assert got[2] == ([], 0)
+    assert got[3] == ([], 0)
+    assert got[4] == (["ab", "c"], 2)
+    run = {r.doc_id: list(r.tokens)
+           for r in encode_bpe(df, [("a", "a")]).collect()}
+    assert run[1] == ["aa", "aa", "aa", "a"]
+    # fit_bpe tuple format (step, l, r, merged, count)
+    tup = {r.doc_id: list(r.tokens)
+           for r in encode_bpe(df, [(0, "a", "b", "ab", 99)]).collect()}
+    assert tup[0] == ["ab", "ab", "c", "ab", "c", "x"]
+
+
+def test_encode_bpe_validation(spark):
+    from quad_processor_util_spark.operators.bpe import encode_bpe
+
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="whitespace"):
+        encode_bpe(df, [("a", " b")])
+    with pytest.raises(ValueError, match="bad merge"):
+        encode_bpe(df, [("a", "")])
+    with pytest.raises(ValueError, match="need columns"):
+        encode_bpe(df, [("a", "b")], id_col="nope")
+
+
+def test_streaming_dedup_drains_to_batch_distinct(spark, tmp_path):
+    """Exact duplicates split across micro-batches (two full copies in
+    separate file drops, maxFilesPerTrigger=8 over 16 files) must drain to
+    exactly the batch-distinct row set — state spans triggers. Both the
+    bounded (dropDuplicatesWithinWatermark) and unbounded (dropDuplicates)
+    variants."""
+    import datetime as dt
+
+    from quad_processor_util_spark.streaming.ingest import (
+        read_transcript_stream, run_stream_to_parquet, streaming_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (f"c{i % 3}", i // 3, "user", f"turn text {i}", None,
+         base + dt.timedelta(minutes=i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    in_dir = str(tmp_path / "in")
+    df.repartition(8).write.parquet(in_dir)
+    df.repartition(8).write.mode("append").parquet(in_dir)
+
+    expected = sorted((c, t, x) for c, t, _, x, _, _ in rows)
+
+    for variant, kwargs in [
+        ("watermarked", dict(watermark_col="ts", delay="3650 days")),
+        ("unbounded", {}),
+    ]:
+        out_dir = str(tmp_path / f"out_{variant}")
+        ckpt = str(tmp_path / f"ckpt_{variant}")
+        deduped = streaming_dedup(
+            read_transcript_stream(spark, in_dir),
+            ["conv_id", "turn_idx"], **kwargs)
+        run_stream_to_parquet(deduped, out_dir, ckpt).awaitTermination()
+        got = sorted((r.conv_id, r.turn_idx, r.text)
+                     for r in spark.read.parquet(out_dir).collect())
+        assert got == expected, variant
+
+
+def _py_pagerank(edges, iters, d=0.85):
+    """Sequential reference: damped PageRank, dangling mass redistributed
+    uniformly, synchronous rounds, deduplicated edges."""
+    eset = sorted(set(edges))
+    nodes = sorted({u for e in eset for u in e})
+    n = len(nodes)
+    out: dict = {}
+    for u, v in eset:
+        out.setdefault(u, []).append(v)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        dmass = sum(rank[u] for u in nodes if u not in out)
+        contrib = {u: 0.0 for u in nodes}
+        for u, vs in out.items():
+            share = rank[u] / len(vs)
+            for v in vs:
+                contrib[v] += share
+        rank = {u: (1 - d) / n + d * (contrib[u] + dmass / n)
+                for u in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_and_conserves_mass(spark):
+    """Cycle + dangling sink + duplicate edges: every round's total mass
+    must stay 1 and the final ranks must match the sequential reference;
+    a hub pointed at by everything outranks its spokes."""
+    from quad_processor_util_spark.operators.pagerank import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d"),
+             ("c", "d"), ("a", "b")]  # duplicate (a,b) must not double-count
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (0, 1, 5):
+        got = {r.node: r.rank for r in pagerank(df, iterations=iters).collect()}
+        exp = _py_pagerank(edges, iters)
+        assert set(got) == set(exp)
+        for u in exp:
+            assert abs(got[u] - exp[u]) < 1e-9, (iters, u)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+    final = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert final["d"] == max(final.values())  # the sink hub wins
+
+
+def test_pagerank_edge_cases(spark):
+    """NULL endpoints dropped, empty graph -> empty frame, validation."""
+    from quad_processor_util_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, "b")], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=2).collect()}
+    assert set(got) == {"a", "b"} and abs(sum(got.values()) - 1.0) < 1e-9
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iterations=3).count() == 0
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=-1)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.5)
+
+
 # ---------------------------------------------------------------------------
 # Duplicated-span detection (operators/spans.py)
 # ---------------------------------------------------------------------------
