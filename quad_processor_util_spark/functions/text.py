@@ -11,15 +11,25 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# a BPE-ish token: word chars, or a single non-space symbol
-_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+# Whitespace class shared by EVERY tokenizer/normalizer in the engine,
+# written out explicitly because the three regex dialects in play disagree
+# on \s: Java (Spark JVM expressions) adds \x0B, Python adds the full
+# unicode isspace() set, and RE2 (the DuckDB oracles' \s) is exactly
+# [\t\n\f\r ]. The explicit class == RE2's \s, so Spark and every DuckDB
+# oracle tokenize identically even on \x0B-bearing text (round-5 review
+# finding — the same dialect trap PY_WS_CLASS closes on the NT paths).
+WS_RE = "[ \t\n\f\r]+"
+
+# a BPE-ish token: word chars, or a single non-space symbol (same explicit
+# whitespace class as WS_RE)
+_TOKEN_RE = r"[A-Za-z0-9_]+|[^ \t\n\f\rA-Za-z0-9_]"
 
 
 def token_count(col: Column) -> Column:
     """Whitespace token count (cheap, codegen'd)."""
     t = F.trim(col)
     return F.when(t == "", F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+        F.size(F.split(t, WS_RE))
     )
 
 
@@ -39,7 +49,7 @@ def stopword_ratio(col: Column, stopwords: tuple[str, ...] = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
 )) -> Column:
     """share of tokens that are stopwords (English heuristic)."""
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    toks = F.split(F.lower(F.trim(col)), WS_RE)
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     n = F.size(toks)
     return F.when(n > 0, F.round(hits / n, 6)).otherwise(F.lit(0.0))
@@ -81,7 +91,7 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace/case-normalized text
     (rolling-hash analog; md5 matches the reference's md5sum,
     utils/StringUtils.scala:261-269, and DuckDB's md5 for oracle checks)."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), WS_RE, " "))
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +112,7 @@ def _winnow_selected(df, text_col: str, id_col: str, k: int, window: int,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " ")
     m = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     g = (
         df.select(F.col(id_col), norm.alias("__t"), m.alias("__m"))
@@ -186,7 +196,9 @@ def winnow_occurrences(df, text_col: str = "text", id_col: str = "doc_id",
 # (Spark) and RE2 (DuckDB): no lookaround, ASCII \d, plain \b.
 _HTML_TAG_RE = r"<[^>]+>"
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PHONE_RE = r"\+?\d[\d()\-\s]{7,}\d"
+# explicit whitespace class (WS_RE rationale): the oracle replays this
+# pattern with RE2's \s, which this class equals exactly
+_PHONE_RE = "\\+?\\d[\\d()\\- \t\n\f\r]{7,}\\d"
 _IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 
 
@@ -202,7 +214,7 @@ def clean_text(col):
     c = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
     c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
     c = F.regexp_replace(c, _IPV4_RE, "<IP>")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, WS_RE, " "))
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +227,7 @@ def clean_text(col):
 
 
 def _words(col: Column) -> Column:
-    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    return F.filter(F.split(col, WS_RE), lambda w: w != "")
 
 
 def _word_ngrams_all(col: Column, n: int) -> Column:

@@ -178,8 +178,14 @@ def fit_bpe(
         merges.append((step, l, r, l + r, cnt))
         fold = _MERGE_FOLD.format(
             l=_sql_quote(l), r=_sql_quote(r), lr=_sql_quote(l + r))
+        # sound prefilter (same argument as encode_bpe): symbols are
+        # contiguous character runs of the word, so adjacency of l,r
+        # implies l+r occurs in the word — words that can't contain the
+        # pair skip the O(len^2)-allocation fold entirely (review finding)
         vocab = vocab.select(
-            "word", "freq", F.expr(fold).alias("syms"))
+            "word", "freq",
+            F.when(F.col("word").contains(l + r), F.expr(fold))
+            .otherwise(F.col("syms")).alias("syms"))
         vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
 
@@ -221,7 +227,7 @@ def encode_bpe(
     :func:`fit_bpe`): merges applied IN FIT ORDER, each as one greedy
     left-to-right pass over the word's symbols (a run ``aaa`` under merge
     ``(a,a)`` gives ``[aa, a]``). Words come from the same
-    lowercase-then-``\\s+``-split route as the fit, applied JVM-side so
+    lowercase-then-``WS_RE``-split route as the fit, applied JVM-side so
     the Python kernel never lowercases (Java/Python case-fold parity).
 
     Plan shape — ZERO shuffle: documents are encoded in place by one

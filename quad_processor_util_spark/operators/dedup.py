@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint
+from ..functions.text import WS_RE, fingerprint
 
 # Mersenne prime 2^31-1: keeps h*a + b < 2^62, inside int64 under ANSI mode
 _MERSENNE = (1 << 31) - 1
@@ -182,7 +182,7 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles (distinct), pure expressions."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), WS_RE, " "), " ")
     k = F.size(toks) - (n - 1)
     grams = F.when(
         k > 0,
@@ -520,7 +520,7 @@ def simhash_signatures(
     toks = src.select(
         F.col(id_col),
         F.explode(
-            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " "), " ")
         ).alias("__t"),
     ).select(id_col, _base_hash(F.col("__t"), hash_kind).alias("__h"))
     h = F.col("__h")

@@ -39,7 +39,7 @@ __all__ = ["unigram_logprob_score"]
 
 
 def _tokens(text_col):
-    # THE whitespace tokenizer (functions.text._words: Java \s+ split,
+    # THE whitespace tokenizer (functions.text._words: explicit WS_RE split,
     # empty strings filtered), lowercased — one definition shared with the
     # repetition/quality gates so a tokenizer fix can't desynchronize them
     return _words(F.lower(text_col))

@@ -85,6 +85,63 @@ def read_table_meta(path: str) -> dict | None:
         return json.load(f)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    out_path: str,
+    delete_col: str | None = None,
+    meta: dict | None = None,
+) -> DataFrame:
+    """MERGE INTO analog over the parquet+sidecar table — the lakehouse
+    mutation the Iceberg-shaped API was missing (the reference is
+    append-only; its closest notion is snapshot replacement,
+    StreamSourceMetaData.scala:7-49). Copy-on-write semantics, Iceberg's
+    MERGE default: matched keys are replaced by their update row, rows
+    whose ``delete_col`` is true are deleted (a delete of an absent key is
+    a no-op), unmatched update rows are inserted. The merged table is
+    written to ``out_path`` as a NEW snapshot whose sidecar commit records
+    ``parent`` — in-place overwrite of a path being lazily read is how
+    Spark eats tables, and separate snapshot dirs are exactly the
+    multi-snapshot model ``read_snapshots_union`` already scans.
+
+    Plan shape: ONE left-anti equi-join of the target on the update keys
+    (shuffle on the key — bucket both sides by key on a real cluster) +
+    unionByName; the only driver datum is a bounded duplicate-key probe
+    (``limit(1).count()`` — Iceberg likewise refuses multi-row matches).
+    At 100 TB, partition the table and rewrite only touched partitions;
+    this function is the per-partition kernel of that rewrite."""
+    target = read_table(spark, target_path)
+    dup = (
+        updates.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_upsert: updates contain duplicate keys — a MERGE row "
+            "must match at most one update (Iceberg semantics)")
+    touched = updates.select(*key_cols)
+    if delete_col is not None:
+        upserts = updates.where(
+            F.coalesce(F.col(delete_col), F.lit(False)) == F.lit(False)
+        ).drop(delete_col)
+    else:
+        upserts = updates
+    if set(upserts.columns) != set(target.columns):
+        raise ValueError(
+            f"merge_upsert: update columns {sorted(upserts.columns)} != "
+            f"target columns {sorted(target.columns)}")
+    merged = (
+        target.join(touched, key_cols, "left_anti")
+        .unionByName(upserts.select(*target.columns))
+    )
+    write_table(
+        merged, out_path, mode="overwrite",
+        meta={"op": "merge_upsert", "parent": target_path, **(meta or {})})
+    return read_table(spark, out_path)
+
+
 def read_nt_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line source for N-Triples/N-Quads text files (.gz/.bz2 transparent —
     QuadReader.readQuads line scan, QuadReader.scala:163-197, minus the

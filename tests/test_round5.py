@@ -854,6 +854,53 @@ def test_pagerank_edge_cases(spark):
         pagerank(df, damping=1.5)
 
 
+def test_merge_upsert_all_arms_and_guards(spark, tmp_path):
+    """Copy-on-write MERGE: matched keys replaced, delete-flagged keys
+    dropped (absent-key delete is a no-op), unmatched rows inserted; the
+    new snapshot's sidecar records the parent; duplicate update keys and
+    schema mismatches raise."""
+    from quad_processor_util_spark.sources.io import (
+        merge_upsert, read_table_meta, write_table,
+    )
+
+    base_path = str(tmp_path / "base")
+    out_path = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string")
+    write_table(base, base_path)
+    upd = spark.createDataFrame(
+        [(2, "B", False),    # update
+         (3, None, True),    # delete
+         (5, "E", False),    # insert
+         (9, None, True)],   # delete of absent key: no-op
+        "k long, v string, del boolean")
+    out = merge_upsert(spark, base_path, upd, ["k"], out_path,
+                       delete_col="del")
+    assert sorted((r.k, r.v) for r in out.collect()) == \
+        [(1, "a"), (2, "B"), (4, "d"), (5, "E")]
+    meta = read_table_meta(out_path)
+    assert meta["op"] == "merge_upsert" and meta["parent"] == base_path
+
+    # no-delete-col variant: pure upsert
+    out2 = merge_upsert(
+        spark, base_path,
+        spark.createDataFrame([(1, "A"), (7, "G")], "k long, v string"),
+        ["k"], str(tmp_path / "m2"))
+    assert sorted((r.k, r.v) for r in out2.collect()) == \
+        [(1, "A"), (2, "b"), (3, "c"), (4, "d"), (7, "G")]
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(
+            spark, base_path,
+            spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string"),
+            ["k"], str(tmp_path / "m3"))
+    with pytest.raises(ValueError, match="columns"):
+        merge_upsert(
+            spark, base_path,
+            spark.createDataFrame([(1,)], "k long"),
+            ["k"], str(tmp_path / "m4"))
+
+
 # ---------------------------------------------------------------------------
 # Duplicated-span detection (operators/spans.py)
 # ---------------------------------------------------------------------------

@@ -93,6 +93,21 @@ CHECKS = {
     "sessionize": ["Window", "HashAggregate"],
     "window_topk": ["Window", "ReadSchema"],
     "nt_format": ["codegen id", "ReadSchema"],
+    # word-frequency fold (one corpus HashAggregate) + pair explode +
+    # bounded deterministic top-N (TakeOrdered, never a global sort)
+    "bpe_pairs": ["Generate", "HashAggregate", "TakeOrderedAndProject"],
+    # zero-shuffle corpus tokenization: ONE Arrow stage, md5 digest fused
+    # into codegen; no Exchange anywhere
+    "bpe_encode": ["MapInPandas", "codegen id"],
+    # winnow occurrences (posexplode + window MIN) -> shared-fp index
+    # (HashAggregate) -> per-doc gaps-and-islands interval merge (Window)
+    "dup_spans": ["Generate", "Window", "HashAggregate"],
+    # the iterative rounds ran eagerly at build time (localCheckpoint per
+    # round); the visible plan is the final checkpointed rank table
+    "entity_pagerank": ["Scan ExistingRDD", "codegen id"],
+    # the MERGE executed at build time (copy-on-write snapshot written);
+    # the visible plan is the new snapshot's pruned parquet scan
+    "snapshot_merge": ["Scan parquet", "ReadSchema"],
 }
 
 # CartesianProductExec is banned EVERYWHERE — cosine_topk's intentional
