@@ -612,6 +612,64 @@ def _q_snapshot_merge(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+def _q_compact_table(spark, sf_dir):
+    """Small-file compaction gate (round-5, rewrite_data_files analog):
+    the events projection deliberately shattered into 64 part files, then
+    compacted into a new snapshot. The query asserts IN-LINE that the
+    file count actually dropped to the sidecar's files_after and that the
+    commit records the parent; the oracle checks content is untouched
+    (compaction must be a physical-layout-only operation)."""
+    import glob
+    import tempfile
+
+    from quad_processor_util_spark.sources.io import (
+        compact_table, read_table_meta, write_table,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="compact_gate_")
+    base_path = os.path.join(workdir, "base")
+    out_path = os.path.join(workdir, "compacted")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    write_table(ev.repartition(64), base_path)
+    n_before = len(glob.glob(os.path.join(base_path, "*.parquet")))
+    out = compact_table(spark, base_path, out_path,
+                        target_file_bytes=64 << 20)
+    n_after = len(glob.glob(os.path.join(out_path, "*.parquet")))
+    m = read_table_meta(out_path)
+    if not (n_before == 64 and n_after == m["files_after"]
+            and n_after < n_before and m["parent"] == base_path
+            and m["files_before"] == 64):
+        raise AssertionError(
+            f"compact_table gate: layout contract broken "
+            f"(before={n_before}, after={n_after}, meta={m})")
+    return out
+
+
+def _q_profile_events(spark, sf_dir):
+    """Single-pass table census (round-5): rows / nulls / exact distincts
+    for every events column in ONE aggregate (multi-distinct planned as
+    one Expand + two-phase agg over a single scan) + a stack unpivot. The
+    oracle recomputes each column's census as a UNION ALL branch."""
+    from quad_processor_util_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "events"))
+
+
+def _profile_events_oracle_sql() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    branches = [
+        f"""SELECT '{c}' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM events"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
 def _q_table_sidecar(spark, sf_dir):
     """File-sink + commit-metadata gate (S6, StreamSourceMetaData.scala:7-49
     header analog — round 4 upgrades it from pytest-only): write the
@@ -1925,11 +1983,11 @@ def _q_quality_score(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks at most the FIRST 50 entries per
-    # round, and 73 are registered. Round 4 left 8 queries without a
+    # round, and 75 are registered. Round 4 left 8 queries without a
     # CORRECTNESS_r04 row (they were green in r03); per the round-4 verdict
     # they now run FIRST — followed by the round-5 gates — so
-    # CORRECTNESS r04 ∪ r05 covers every registered query. The 23 displaced
-    # into the tail (media_features .. rdf_json) all have green r04 rows.
+    # CORRECTNESS r04 ∪ r05 covers every registered query. The 25 displaced
+    # into the tail (table_sidecar .. rdf_json) all have green r04 rows.
     # Rotation documented in COVERAGE.md.
     return {
         "prefixed_name": _q_prefixed_name,
@@ -1958,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "entity_pagerank": _q_entity_pagerank,
         "snapshot_merge": _q_snapshot_merge,
+        "compact_table": _q_compact_table,
+        "profile_events": _q_profile_events,
         "tpch_q1": _q_tpch_q1,
         "star_join": _q_star_join,
         "stable_turn_order": _q_stable_turn_order,
@@ -2590,6 +2650,15 @@ def oracle_sql() -> dict[str, str]:
         # 3 PageRank rounds unrolled as CTEs over the same extraction SQL;
         # dangling (org) mass redistributed uniformly each round
         "entity_pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
+        # per-column census recomputed as UNION ALL branches; sum(CASE)
+        # handles the zero-null columns DuckDB's count(col) would too
+        "profile_events": _profile_events_oracle_sql(),
+        # compaction is layout-only: content must equal the source
+        # projection exactly (the gate asserts the file-count contract
+        # in-line before returning)
+        "compact_table": """
+            SELECT event_id, user_id, event_type, value FROM events
+        """,
         # copy-on-write MERGE replayed as three UNION ALL arms: kept rows
         # (neither updated nor deleted), updated rows (%7, not %11),
         # inserts under key + 1e9 (%13); deletes (%11) appear nowhere

@@ -142,6 +142,48 @@ def merge_upsert(
     return read_table(spark, out_path)
 
 
+def compact_table(
+    spark: SparkSession,
+    target_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    meta: dict | None = None,
+) -> DataFrame:
+    """Small-file compaction — the Iceberg ``rewrite_data_files`` analog
+    (the reference's bash-cat concat, file/IOUtils.scala:96-134, solved
+    the same small-output problem one file at a time). A streaming sink or
+    a per-bucket resume leaves many small part files; scans then pay one
+    task + one open per file. This rewrites the table as
+    ``ceil(bytes / target_file_bytes)`` files into a NEW snapshot whose
+    sidecar commit records parent + files_before/files_after.
+
+    Shape: ONE round-robin repartition (no key — compaction balances
+    bytes, not co-location; compact BEFORE establishing a clustered
+    layout, or partition-wise with ``partition_by`` preserved upstream).
+    Size comes from driver-local file metadata, the same local-path
+    constraint the sidecar already imposes (checked by write_table)."""
+    import math
+
+    if target_file_bytes <= 0:
+        raise ValueError("compact_table: target_file_bytes must be > 0")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(target_path)
+        for f in fs if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"compact_table: no parquet files under {target_path}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = read_table(spark, target_path).repartition(n_out)
+    write_table(
+        df, out_path, mode="overwrite",
+        meta={"op": "compact", "parent": target_path,
+              "files_before": len(files), "files_after": n_out,
+              **(meta or {})})
+    return read_table(spark, out_path)
+
+
 def read_nt_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line source for N-Triples/N-Quads text files (.gz/.bz2 transparent —
     QuadReader.readQuads line scan, QuadReader.scala:163-197, minus the

@@ -901,6 +901,58 @@ def test_merge_upsert_all_arms_and_guards(spark, tmp_path):
             ["k"], str(tmp_path / "m4"))
 
 
+def test_compact_table_layout_only(spark, tmp_path):
+    """Compaction rewrites many small files into few, records the layout
+    change in the sidecar, and leaves content untouched."""
+    import glob
+
+    from quad_processor_util_spark.sources.io import (
+        compact_table, read_table_meta, write_table,
+    )
+
+    base_path = str(tmp_path / "base")
+    out_path = str(tmp_path / "compacted")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    write_table(df.repartition(16), base_path)
+    assert len(glob.glob(base_path + "/*.parquet")) == 16
+    out = compact_table(spark, base_path, out_path,
+                        target_file_bytes=1 << 30)
+    assert len(glob.glob(out_path + "/*.parquet")) == 1
+    meta = read_table_meta(out_path)
+    assert (meta["op"], meta["parent"]) == ("compact", base_path)
+    assert meta["files_before"] == 16 and meta["files_after"] == 1
+    assert sorted((r.id, r.v) for r in out.collect()) == \
+        [(i, 2 * i) for i in range(1000)]
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_table(spark, base_path, str(tmp_path / "x"),
+                      target_file_bytes=0)
+    with pytest.raises(ValueError, match="no parquet files"):
+        compact_table(spark, str(tmp_path / "nope"), str(tmp_path / "y"))
+
+
+def test_profile_table_census(spark):
+    """Rows/nulls/exact-distincts per column in one pass; n_distinct is
+    non-null SQL semantics; approx variant returns the same shape with
+    plausible estimates; unknown columns raise."""
+    from quad_processor_util_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "k long, v string")
+    got = {r.col_name: (r.n_rows, r.n_null, r.n_distinct)
+           for r in profile_table(df).collect()}
+    assert got == {"k": (4, 1, 3), "v": (4, 1, 2)}
+    sub = profile_table(df, columns=["v"]).collect()
+    assert len(sub) == 1 and sub[0].col_name == "v"
+    approx = {r.col_name: r.n_distinct
+              for r in profile_table(df, approx=True).collect()}
+    assert set(approx) == {"k", "v"} and all(v >= 1 for v in approx.values())
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, columns=["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_table(df, columns=[])
+
+
 # ---------------------------------------------------------------------------
 # Duplicated-span detection (operators/spans.py)
 # ---------------------------------------------------------------------------

@@ -108,6 +108,11 @@ CHECKS = {
     # the MERGE executed at build time (copy-on-write snapshot written);
     # the visible plan is the new snapshot's pruned parquet scan
     "snapshot_merge": ["Scan parquet", "ReadSchema"],
+    # compaction executed at build time; visible plan = new snapshot scan
+    "compact_table": ["Scan parquet", "ReadSchema"],
+    # exact multi-distinct census: ONE scan expanded (Expand) into the
+    # 3×n_cols measures, two-phase aggregate, stack unpivot (Generate)
+    "profile_events": ["Expand", "HashAggregate", "Generate"],
 }
 
 # CartesianProductExec is banned EVERYWHERE — cosine_topk's intentional
