@@ -143,7 +143,10 @@ def camel_case_expr(col: Column) -> Column:
     ref: utils/RichString.scala:70-74 toCamelCase. JVM upper() is applied to
     a single leading char; for the ligature edge cases (ß/ﬁ/ﬂ first chars)
     use oracle.camel_case via a pandas UDF instead."""
-    words = F.filter(F.split(col, r"[\s_]+"), lambda w: w != "")
+    # explicit whitespace class == RE2's \s (see functions.text.WS_RE):
+    # the camelcase_mint oracle splits on RE2 '[\s_]+', and Java's \s
+    # would additionally match \x0B (round-5 review finding)
+    words = F.filter(F.split(col, "[ \t\n\f\r_]+"), lambda w: w != "")
     tail = F.aggregate(
         F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
         F.lit(""),

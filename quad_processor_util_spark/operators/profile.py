@@ -40,12 +40,27 @@ def profile_table(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
+    # count(DISTINCT) cannot be planned over MapType (not groupable) in
+    # either mode — fail up front with the fix instead of an
+    # AnalysisException mid-plan (round-5 review finding)
+    from pyspark.sql.types import MapType
+
+    maps = [c for c in cols
+            if isinstance(df.schema[c].dataType, MapType)]
+    if maps:
+        raise ValueError(
+            f"profile_table: map-typed columns {maps} have no distinct "
+            f"count — pass columns= excluding them")
     distinct_fn = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for i, c in enumerate(cols):
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1))
+        # backtick-quoted, not bare F.col(c): a top-level name containing
+        # '.' must not be parsed as struct-field access (round-5 review
+        # finding); embedded backticks double per Spark quoting rules
+        qc = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.count(F.when(qc.isNull(), 1))
                     .alias(f"__null_{i}"))
-        aggs.append(distinct_fn(F.col(c)).alias(f"__dist_{i}"))
+        aggs.append(distinct_fn(qc).alias(f"__dist_{i}"))
     one = df.agg(*aggs)
     labels = [c.replace("\\", "\\\\").replace("'", "\\'") for c in cols]
     stack_args = ", ".join(

@@ -113,6 +113,19 @@ def merge_upsert(
     At 100 TB, partition the table and rewrite only touched partitions;
     this function is the per-partition kernel of that rewrite."""
     target = read_table(spark, target_path)
+    touched = updates.select(*key_cols)
+    if delete_col is not None:
+        upserts = updates.where(
+            F.coalesce(F.col(delete_col), F.lit(False)) == F.lit(False)
+        ).drop(delete_col)
+    else:
+        upserts = updates
+    # metadata-only validation FIRST — a malformed call must not pay the
+    # duplicate-probe Spark job below (round-5 review finding)
+    if set(upserts.columns) != set(target.columns):
+        raise ValueError(
+            f"merge_upsert: update columns {sorted(upserts.columns)} != "
+            f"target columns {sorted(target.columns)}")
     dup = (
         updates.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1).limit(1).count()
@@ -121,17 +134,6 @@ def merge_upsert(
         raise ValueError(
             "merge_upsert: updates contain duplicate keys — a MERGE row "
             "must match at most one update (Iceberg semantics)")
-    touched = updates.select(*key_cols)
-    if delete_col is not None:
-        upserts = updates.where(
-            F.coalesce(F.col(delete_col), F.lit(False)) == F.lit(False)
-        ).drop(delete_col)
-    else:
-        upserts = updates
-    if set(upserts.columns) != set(target.columns):
-        raise ValueError(
-            f"merge_upsert: update columns {sorted(upserts.columns)} != "
-            f"target columns {sorted(target.columns)}")
     merged = (
         target.join(touched, key_cols, "left_anti")
         .unionByName(upserts.select(*target.columns))
@@ -179,8 +181,22 @@ def compact_table(
     write_table(
         df, out_path, mode="overwrite",
         meta={"op": "compact", "parent": target_path,
-              "files_before": len(files), "files_after": n_out,
+              "files_before": len(files), "target_files": n_out,
               **(meta or {})})
+    # files_after is MEASURED, not the predicted partition count: Spark
+    # writes no file for an empty task, so with fewer rows than n_out the
+    # prediction overstates the layout (round-5 review finding). Patch the
+    # just-written sidecar — same driver-local commit, one more field.
+    n_actual = len([f for f in os.listdir(out_path)
+                    if f.endswith(".parquet")])
+    sidecar_path = os.path.join(out_path, "_table_meta.json")
+    with open(sidecar_path) as f:
+        sidecar = json.load(f)
+    sidecar["files_after"] = n_actual
+    if sidecar.get("commits"):
+        sidecar["commits"][-1]["files_after"] = n_actual
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=2, sort_keys=True)
     return read_table(spark, out_path)
 
 

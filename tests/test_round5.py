@@ -929,6 +929,18 @@ def test_compact_table_layout_only(spark, tmp_path):
     with pytest.raises(ValueError, match="no parquet files"):
         compact_table(spark, str(tmp_path / "nope"), str(tmp_path / "y"))
 
+    # files_after is MEASURED: with fewer rows than target partitions,
+    # empty tasks write no files and the sidecar must say so
+    tiny_base = str(tmp_path / "tiny")
+    write_table(spark.range(2), tiny_base)
+    tiny_out = str(tmp_path / "tiny_compacted")
+    compact_table(spark, tiny_base, tiny_out, target_file_bytes=512)
+    m2 = read_table_meta(tiny_out)
+    measured = len(glob.glob(tiny_out + "/*.parquet"))
+    assert m2["files_after"] == measured
+    assert m2["target_files"] >= m2["files_after"]
+    assert measured <= 2  # 2 rows can fill at most 2 files
+
 
 def test_profile_table_census(spark):
     """Rows/nulls/exact-distincts per column in one pass; n_distinct is
@@ -951,6 +963,25 @@ def test_profile_table_census(spark):
         profile_table(df, columns=["nope"])
     with pytest.raises(ValueError, match="no columns"):
         profile_table(df, columns=[])
+    # a top-level column whose NAME contains a dot must profile fine
+    dotted = df.withColumnRenamed("v", "user.id")
+    got_dot = {r.col_name: r.n_distinct for r in profile_table(dotted).collect()}
+    assert got_dot["user.id"] == 2
+    # map-typed columns have no distinct count: loud up-front error
+    mapped = df.withColumn("m", F.create_map(F.lit("a"), F.col("v")))
+    with pytest.raises(ValueError, match="map-typed"):
+        profile_table(mapped)
+    assert len(profile_table(mapped, columns=["k", "v"]).collect()) == 2
+
+
+def test_camel_case_vertical_tab_dialect_parity(spark):
+    """camel_case_expr must NOT treat \\x0B as a separator (RE2/DuckDB
+    dialect, which the camelcase_mint oracle replays) — Java's \\s would."""
+    from quad_processor_util_spark.functions.uri import camel_case_expr
+
+    df = spark.createDataFrame([("a\x0bb_tool name",)], "s string")
+    got = df.select(camel_case_expr(F.col("s")).alias("c")).collect()[0].c
+    assert got == "a\x0bbToolName"
 
 
 # ---------------------------------------------------------------------------
