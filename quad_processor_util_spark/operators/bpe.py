@@ -209,6 +209,31 @@ def _normalize_merges(merges) -> List[Tuple[str, str, str]]:
     return out
 
 
+def _encode_word(w: str, merges) -> list:
+    """Sennrich apply for ONE word: merges in fit order, each as a greedy
+    left-to-right pass. Module-level (not a closure) so the property suite
+    can prove it equivalent to the doubled-separator replace spec the SQL
+    oracle replays (tests/test_properties.py). The ``lr not in w``
+    prefilter is sound: symbols are contiguous character runs of the
+    word, so adjacency of l,r implies l+r occurs in w."""
+    syms = list(w)
+    for l, r, lr in merges:
+        if len(syms) < 2:
+            break
+        if lr not in w:
+            continue
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                out.append(lr)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def encode_bpe(
     docs: DataFrame,
     merges,
@@ -272,21 +297,7 @@ def encode_bpe(
             hit = memo.get(w)
             if hit is not None:
                 return hit
-            syms = list(w)
-            for l, r, lr in norm:
-                if len(syms) < 2:
-                    break
-                if lr not in w:
-                    continue
-                out, i, n = [], 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == l and syms[i + 1] == r:
-                        out.append(lr)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
+            syms = _encode_word(w, norm)
             if len(memo) < memo_cap:
                 memo[w] = syms
             return syms

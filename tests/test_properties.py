@@ -141,3 +141,38 @@ def test_wiki_encode_decodes_back_to_clean_space_form(s):
     enc = wiki_encode(s)
     dec = percent_decode_lenient(enc).replace("_", " ")
     assert dec == clean_space(s)
+
+
+# ---------------------------------------------------------------------------
+# BPE encode kernel ≡ the doubled-separator replace spec the SQL oracle
+# replays (operators/bpe._encode_word vs __spark_entry__'s bpe_encode
+# oracle construction). Python str.replace is leftmost non-overlapping
+# all-occurrences — the same semantics as DuckDB's replace().
+# ---------------------------------------------------------------------------
+
+_bpe_word = st.text(alphabet="abc", min_size=0, max_size=12)
+_bpe_sym = st.text(alphabet="abc", min_size=1, max_size=3)
+_bpe_merges = st.lists(st.tuples(_bpe_sym, _bpe_sym), max_size=6)
+
+
+def _spec_encode(w, merges):
+    """The oracle's construction: doubled-separator string, one replace
+    per merge, split, drop separators."""
+    rep = "  " + "  ".join(list(w)) + "  " if w else "  "
+    for l, r in merges:
+        rep = rep.replace(f" {l}  {r} ", f" {l}{r} ")
+    return [t for t in rep.split("  ") if t]
+
+
+@settings(max_examples=500, deadline=None)
+@given(_bpe_word, _bpe_merges)
+def test_bpe_kernel_matches_oracle_replace_spec(w, merges):
+    from quad_processor_util_spark.operators.bpe import (
+        _encode_word, _normalize_merges,
+    )
+
+    norm = _normalize_merges(merges) if merges else []
+    got = _encode_word(w, norm)
+    assert got == _spec_encode(w, merges)
+    # token conservation: concatenating tokens restores the word
+    assert "".join(got) == w
