@@ -670,6 +670,24 @@ def _profile_events_oracle_sql() -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL interchange gate (round-5): the documents table exported as
+    gzip JSONL shards (the LLM-training handoff format) and read back
+    under an explicit schema must round-trip every row bit-for-bit — the
+    oracle is the untouched projection. Exercises JSON string escaping
+    (quotes/controls in text) through a real write+read, not expression
+    evaluation."""
+    import tempfile
+
+    from quad_processor_util_spark.sources.io import read_jsonl, write_jsonl
+
+    workdir = tempfile.mkdtemp(prefix="jsonl_gate_")
+    path = os.path.join(workdir, "docs_jsonl")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    write_jsonl(docs, path, compression="gzip")
+    return read_jsonl(spark, path, "doc_id bigint, lang string, text string")
+
+
 def _q_table_sidecar(spark, sf_dir):
     """File-sink + commit-metadata gate (S6, StreamSourceMetaData.scala:7-49
     header analog — round 4 upgrades it from pytest-only): write the
@@ -1983,11 +2001,11 @@ def _q_quality_score(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks at most the FIRST 50 entries per
-    # round, and 75 are registered. Round 4 left 8 queries without a
+    # round, and 76 are registered. Round 4 left 8 queries without a
     # CORRECTNESS_r04 row (they were green in r03); per the round-4 verdict
     # they now run FIRST — followed by the round-5 gates — so
-    # CORRECTNESS r04 ∪ r05 covers every registered query. The 25 displaced
-    # into the tail (table_sidecar .. rdf_json) all have green r04 rows.
+    # CORRECTNESS r04 ∪ r05 covers every registered query. The 26 displaced
+    # into the tail (multi_sink .. rdf_json) all have green r04 rows.
     # Rotation documented in COVERAGE.md.
     return {
         "prefixed_name": _q_prefixed_name,
@@ -2018,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge": _q_snapshot_merge,
         "compact_table": _q_compact_table,
         "profile_events": _q_profile_events,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "tpch_q1": _q_tpch_q1,
         "star_join": _q_star_join,
         "stable_turn_order": _q_stable_turn_order,
@@ -2653,6 +2672,11 @@ def oracle_sql() -> dict[str, str]:
         # per-column census recomputed as UNION ALL branches; sum(CASE)
         # handles the zero-null columns DuckDB's count(col) would too
         "profile_events": _profile_events_oracle_sql(),
+        # gzip JSONL export + schema-enforced read-back must be the
+        # identity on the projection (real write+read, not expressions)
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang, text FROM documents
+        """,
         # compaction is layout-only: content must equal the source
         # projection exactly (the gate asserts the file-count contract
         # in-line before returning)

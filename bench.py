@@ -94,6 +94,10 @@ def main() -> None:
         "unigram_logprob",
         "shuffle_rank",
         "pack_sequences",
+        "bpe_pairs",
+        "bpe_encode",
+        "dup_spans",
+        "entity_pagerank",
     ]
 
     # warm JVM codegen, shuffle, and Python-worker/Arrow paths once

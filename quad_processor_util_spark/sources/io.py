@@ -200,6 +200,31 @@ def compact_table(
     return read_table(spark, out_path)
 
 
+def write_jsonl(df: DataFrame, path: str,
+                compression: str | None = None) -> None:
+    """JSONL shard export — the interchange format every LLM training
+    ingestion reads (one JSON object per line). Spark's native json sink
+    IS JSONL (one object per line per part file); this thin wrapper exists
+    so the engine has one named, tested exit point with optional gzip
+    (suffix-transparent on read, like the NT sinks — the reference's
+    IOUtils.scala:24-35 wrapping is native here)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-enforced JSONL read. An explicit schema is REQUIRED: at
+    100 TB, schema inference is a full extra pass over the data, and a
+    drifted field type must fail loudly (columnNameOfCorruptRecord rows
+    become nulls under the default PERMISSIVE mode — callers that need
+    strictness set mode=FAILFAST on the returned reader plan upstream)."""
+    if not schema:
+        raise ValueError("read_jsonl: an explicit schema is required")
+    return spark.read.schema(schema).json(path)
+
+
 def read_nt_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line source for N-Triples/N-Quads text files (.gz/.bz2 transparent —
     QuadReader.readQuads line scan, QuadReader.scala:163-197, minus the

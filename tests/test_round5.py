@@ -984,6 +984,32 @@ def test_camel_case_vertical_tab_dialect_parity(spark):
     assert got == "a\x0bbToolName"
 
 
+def test_jsonl_roundtrip_escaping_and_schema(spark, tmp_path):
+    """JSONL export + schema-enforced read-back is the identity, including
+    quotes, backslashes, newlines, tabs, unicode, and NULL fields; missing
+    schema raises."""
+    from quad_processor_util_spark.sources.io import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'he said "hi"'),
+        (2, "back\\slash and\nnewline\tand tab"),
+        (3, "unicode: café ☃ \U0001f600"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path, compression="gzip")
+    got = sorted((r.id, r.text)
+                 for r in read_jsonl(spark, path, "id long, text string")
+                 .collect())
+    # Spark's json sink DROPS null-valued fields on write (ignoreNullFields
+    # default) and the reader restores them as NULL under the schema
+    assert got == sorted(rows)
+    with pytest.raises(ValueError, match="schema"):
+        read_jsonl(spark, path, "")
+
+
 # ---------------------------------------------------------------------------
 # Duplicated-span detection (operators/spans.py)
 # ---------------------------------------------------------------------------
