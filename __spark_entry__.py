@@ -1461,7 +1461,7 @@ SELECT doc_id AS media_id, 'image' AS kind,
        CAST({ahash} AS BIGINT) AS ahash
 FROM m
 UNION ALL
-SELECT doc_id + 1000000 AS media_id, 'audio' AS kind,
+SELECT doc_id + 1099511627776 AS media_id, 'audio' AS kind,
        CAST(76 AS BIGINT) AS n_bytes,
        CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
        round(16.0 / 8000.0 * 1000.0, 9) AS duration_ms,

@@ -115,8 +115,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if toks[0] != b"P6":
         raise ValueError(f"not a P6 PPM: {toks[0]!r}")
     w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
-    if maxval > 255:
-        raise ValueError("16-bit PPM unsupported")
+    if maxval != 255:
+        # a sub-255 maxval is legal P6 but would need raster rescaling to
+        # honor image_features' normalized-gray contract; declared
+        # unsupported rather than silently mis-scaled (round-5 review)
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
     off = i + 1  # exactly one whitespace byte after maxval
     img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
     return img.reshape(h, w, 3)
@@ -144,9 +147,13 @@ def image_features(img: np.ndarray, thumb: int = 8) -> tuple[int, int, int, list
     gray = t.mean(axis=2)
     feat = (gray / 255.0).reshape(-1)
     bits = (gray > gray.mean()).reshape(-1)
+    # ahash contract: the bit string folded into 64 bits (shift wraps mod
+    # 2^64 so thumb > 8 cannot overflow the LongType column; thumb = 8 is
+    # the canonical full-fidelity hash) — round-5 review finding
+    mask = (1 << 64) - 1
     v = 0
     for b in bits:
-        v = (v << 1) | int(b)
+        v = ((v << 1) | int(b)) & mask
     if v >= 1 << 63:
         v -= 1 << 64
     return img.shape[1], img.shape[0], img.shape[2], [float(x) for x in feat], v
@@ -159,6 +166,11 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
         if wf.getsampwidth() != 2:
             raise ValueError("only PCM-16 supported")
         sr = wf.getframerate()
+        if sr <= 0:
+            # stdlib wave does not validate the fmt chunk; a zero sample
+            # rate must fail the decode contract (ValueError routes through
+            # on_unsupported), not ZeroDivisionError the whole task
+            raise ValueError(f"invalid WAV sample rate {sr}")
         ch = wf.getnchannels()
         raw = wf.readframes(wf.getnframes())
     return sr, np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
@@ -249,7 +261,10 @@ def decode_media(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     return cols.mapInPandas(_decode, DECODED_SCHEMA)
 
 
-AUDIO_ID_OFFSET = 1_000_000
+# far above any plausible doc_id (2^40): at 1e6 the synth audio id of doc
+# k collided with the image id of doc k+1e6 once corpora pass a million
+# docs, conflating kinds in any media_id join (round-5 review finding)
+AUDIO_ID_OFFSET = 1 << 40
 _SYNTH_SR = 8000  # Hz
 _SYNTH_N = 16     # md5 digest length drives both pixel and sample counts
 
@@ -299,13 +314,20 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: expand each video row into frame
     timestamps (pure expressions; the decode of each frame is the stubbed
     step). Demonstrates the explode-then-process partitioning shape."""
+    # NULL / non-positive durations plan NO frames: Spark greatest() skips
+    # NULLs, so the old clamp turned an unknown-length video into a phantom
+    # ts=0 frame. Cast to long up front — duration_ms is a DOUBLE in
+    # MEDIA_SCHEMA/DECODED_SCHEMA and sequence() requires integral bounds,
+    # so the old expression failed outright on real decoded media (both
+    # round-5 review findings).
+    dur = F.col("duration_ms").cast("long")
     return (
-        media.where(F.col("kind") == "video")
+        media.where((F.col("kind") == "video")
+                    & dur.isNotNull() & (dur > 0))
         .select(
             "media_id",
             F.explode(
-                F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                           F.lit(every_ms))
+                F.sequence(F.lit(0), dur - 1, F.lit(every_ms))
             ).alias("frame_ts_ms"),
         )
     )

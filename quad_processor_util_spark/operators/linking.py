@@ -41,34 +41,45 @@ def link_candidates(
     the n-gram (catalog side broadcast after explode)."""
     m = mentions.select(F.col(mention_col).alias("surface")).distinct()
     m_sets = m.select("surface", char_ngrams(F.col("surface"), ngram_n).alias("__mg"))
-    c_sets = catalog.select(
-        F.col(catalog_form_col).alias("cand_form"),
-        F.col("entity_iri"),
-        F.col("form_weight"),
-        char_ngrams(F.col(catalog_form_col), ngram_n).alias("__cg"),
+    # gram sets per DISTINCT candidate FORM: the Jaccard is a property of
+    # the (surface string, form string) pair, so catalog rows sharing a
+    # surface_form (ambiguous gazetteers — the case score_and_pick's
+    # tie-break exists for) must not multiply the intersection count; the
+    # old per-row explode inflated __inter N-fold and a 2-way exact match
+    # divided by zero and was silently DROPPED (round-5 review finding).
+    f_sets = (
+        catalog.select(F.col(catalog_form_col).alias("cand_form")).distinct()
+        .select("cand_form",
+                char_ngrams(F.col("cand_form"), ngram_n).alias("__cg"))
     )
-    m_inv = m_sets.select("surface", F.explode("__mg").alias("__g"))
-    c_inv = c_sets.select("cand_form", F.explode("__cg").alias("__g"))
+    # sizes ride the exploded rows (constant per key) instead of a second
+    # scan+join against the fact-side gram build (round-5 review finding)
+    m_inv = m_sets.select(
+        "surface", F.size("__mg").alias("__msz"),
+        F.explode("__mg").alias("__g"))
+    f_inv = f_sets.select(
+        "cand_form", F.size("__cg").alias("__csz"),
+        F.explode("__cg").alias("__g"))
     pairs = (
-        m_inv.join(F.broadcast(c_inv), "__g")
-        .groupBy("surface", "cand_form")
+        m_inv.join(F.broadcast(f_inv), "__g")
+        .groupBy("surface", "cand_form", "__msz", "__csz")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     out = (
-        pairs.join(m_sets.select("surface", F.size("__mg").alias("__msz")), "surface")
-        .join(
-            F.broadcast(
-                c_sets.select("cand_form", "entity_iri", "form_weight", F.size("__cg").alias("__csz"))
-            ),
-            "cand_form",
-        )
-        .select(
-            "surface",
-            "entity_iri",
-            "form_weight",
-            (F.col("__inter") / (F.col("__msz") + F.col("__csz") - F.col("__inter"))).alias("jaccard"),
+        pairs.select(
+            "surface", "cand_form",
+            (F.col("__inter")
+             / (F.col("__msz") + F.col("__csz") - F.col("__inter"))
+             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= min_jaccard)
+        .join(
+            F.broadcast(catalog.select(
+                F.col(catalog_form_col).alias("cand_form"),
+                "entity_iri", "form_weight")),
+            "cand_form",
+        )
+        .select("surface", "entity_iri", "form_weight", "jaccard")
     )
     return out
 

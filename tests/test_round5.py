@@ -1010,6 +1010,78 @@ def test_jsonl_roundtrip_escaping_and_schema(spark, tmp_path):
         read_jsonl(spark, path, "")
 
 
+def test_link_candidates_ambiguous_surface_form(spark):
+    """Catalog rows SHARING a surface form (ambiguous gazetteer) must not
+    corrupt the Jaccard: an exact mention links to the highest-weight
+    entity with jaccard exactly 1.0 — the old per-row inverted index
+    inflated the intersection and divided by zero, silently dropping
+    every exact match (round-5 review finding)."""
+    from quad_processor_util_spark.operators.linking import (
+        link_candidates, link_surface_forms,
+    )
+
+    catalog = spark.createDataFrame(
+        [("Paris", "http://e/1", 0.9),
+         ("Paris", "http://e/2", 0.5),
+         ("Paris", "http://e/3", 0.2),
+         ("London", "http://e/4", 0.8)],
+        "surface_form string, entity_iri string, form_weight double")
+    mentions = spark.createDataFrame([("Paris",)], "surface string")
+    cands = {(r.entity_iri, round(r.jaccard, 9))
+             for r in link_candidates(mentions, catalog).collect()}
+    assert cands == {("http://e/1", 1.0), ("http://e/2", 1.0),
+                     ("http://e/3", 1.0)}
+    best = link_surface_forms(mentions, catalog).collect()
+    assert [(r.surface, r.entity_iri, r.score) for r in best] == \
+        [("Paris", "http://e/1", 0.9)]
+
+
+def test_multimodal_review_guards(spark):
+    """frame_sample_plan plans no frames for NULL/zero durations; ahash
+    folds mod 2^64 at thumb > 8; maxval != 255 PPM and zero-sample-rate
+    WAV fail as decode errors (ValueError), not crashes."""
+    import numpy as np
+    import pandas as pd
+
+    from quad_processor_util_spark.multimodal import (
+        decode_ppm, decode_wav_pcm16, encode_ppm, frame_sample_plan,
+        image_features,
+    )
+
+    pdf = pd.DataFrame({
+        "media_id": [1, 2, 3], "kind": ["video"] * 3,
+        "mime": ["video/mp4"] * 3, "payload": [b"x"] * 3,
+        "width": [1] * 3, "height": [1] * 3,
+        "duration_ms": [2500.0, None, 0.0],
+    })
+    frames = frame_sample_plan(spark.createDataFrame(pdf)).collect()
+    assert sorted((f.media_id, f.frame_ts_ms) for f in frames) == \
+        [(1, 0), (1, 1000), (1, 2000)]
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    *_, ahash16 = image_features(img, thumb=16)
+    assert -(1 << 63) <= ahash16 < (1 << 63)  # folded, not overflowed
+
+    low_max = b"P6\n2 2\n15\n" + bytes(12)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(low_max)
+    assert decode_ppm(encode_ppm(img)).shape == (16, 16, 3)
+
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 4)
+    bad = bytearray(buf.getvalue())
+    off = bad.find(b"fmt ") + 12  # dwSamplesPerSec within the fmt chunk
+    bad[off:off + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav_pcm16(bytes(bad))
+
+
 # ---------------------------------------------------------------------------
 # Duplicated-span detection (operators/spans.py)
 # ---------------------------------------------------------------------------
