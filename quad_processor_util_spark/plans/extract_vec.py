@@ -238,8 +238,11 @@ def extract_batch(
             i = mega.find(needle, i + 1)
         return pos
 
-    pop_pos = _find_positions(" has population ")
-    lab_pos = _find_positions(' is known as "')
+    # anchors are only consulted per MENTION — a mention-free batch must
+    # not pay two O(len(mega)) sweeps on the flagship hot path (round-5
+    # review finding)
+    pop_pos = _find_positions(" has population ") if nm else set()
+    lab_pos = _find_positions(' is known as "') if nm else set()
     for mi in range(nm):
         e = int(m_end[mi])
         if e in pop_pos:

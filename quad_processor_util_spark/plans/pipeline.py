@@ -43,21 +43,44 @@ _BC_CACHE: dict[tuple[str, str], object] = {}
 def _gaz_content_key(surface_to_iri: dict[str, str]) -> str:
     import hashlib
 
-    h = hashlib.md5()
+    try:
+        # non-cryptographic cache keying — the flag keeps FIPS-enforcing
+        # builds from refusing md5 (round-5 review finding)
+        h = hashlib.md5(usedforsecurity=False)
+    except TypeError:  # interpreter predates the flag
+        h = hashlib.md5()
     for k in sorted(surface_to_iri):
-        h.update(k.encode())
-        h.update(b"\x00")
-        h.update(surface_to_iri[k].encode())
-        h.update(b"\x01")
+        kb, vb = k.encode(), surface_to_iri[k].encode()
+        # length-prefixed frames: plain sentinel concatenation is ambiguous
+        # (("a\x00", "b") vs ("a", "\x00b") hashed identical streams and
+        # the cache served the WRONG gazetteer — round-5 review finding)
+        h.update(b"%d:%d:" % (len(kb), len(vb)))
+        h.update(kb)
+        h.update(vb)
     return h.hexdigest()
 
 
 def broadcast_gazetteer(spark: SparkSession, surface_to_iri: dict[str, str]):
-    """Broadcast (content_key, dict) once per distinct gazetteer per app."""
+    """Broadcast (content_key, dict) once per distinct gazetteer per app.
+
+    Driver-side validation lives here (shared by batch AND streaming):
+    a surface form containing the extraction mega-string's \\x00 row
+    separator could match ACROSS row boundaries in the vectorized scan —
+    rejected loudly instead of asserted in a docstring (round-5 review)."""
+    bad = [repr(k) for k in surface_to_iri if "\x00" in k]
+    if bad:
+        raise ValueError(
+            f"gazetteer surface forms must not contain \\x00 (the batch "
+            f"row separator): {bad[:3]}")
     key = _gaz_content_key(surface_to_iri)
     app = spark.sparkContext.applicationId
     bc = _BC_CACHE.get((app, key))
     if bc is None:
+        # purge entries of OTHER apps: a long-lived driver cycling
+        # SparkSessions must not pin dead Broadcast handles forever
+        # (round-5 review finding)
+        for stale in [t for t in _BC_CACHE if t[0] != app]:
+            del _BC_CACHE[stale]
         bc = spark.sparkContext.broadcast((key, dict(surface_to_iri)))
         _BC_CACHE[(app, key)] = bc
     return bc
@@ -142,6 +165,13 @@ def make_extract_fn(bc, policy: str = "LONGEST_DOMINANT_RIGHT",
     tests/test_extract_vec.py."""
     from .extract_vec import extract_batch
 
+    # fail FAST on the driver: a typo'd policy must not surface as a task
+    # failure hours into a run whose early batches had no mentions — and
+    # the \x00 per-row fallback route only raised for rows whose mentions
+    # actually overlap, so it could even complete silently (round-5 review)
+    if policy not in ("ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"):
+        raise ValueError(f"unknown overlap policy: {policy!r}")
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = _get_gazetteer(bc)
         for pdf in batches:
@@ -208,6 +238,7 @@ def link_unknown_mentions(
     catalog: DataFrame,
     min_jaccard: float = 0.4,
     cache_registry: list | None = None,
+    broadcast_links: bool = True,
 ) -> DataFrame:
     """Fuzzy entity linking for the unknown-mention placeholder quads emitted
     by extract_quads(emit_unknown=True): the ex:mentionSurface quads are
@@ -243,8 +274,14 @@ def link_unknown_mentions(
         placeholders.select(F.col("obj").alias("surface")),
         catalog, min_jaccard=min_jaccard,
     )
+    # links cardinality = DISTINCT unknown surfaces — data-dependent,
+    # unlike the fixed gazetteer dimension. Broadcast is right while that
+    # set fits the driver/executors; at web scale (10^8+ distinct unknown
+    # capitalized runs) pass broadcast_links=False for a shuffle hash join
+    # on surface (round-5 review finding).
+    link_side = F.broadcast(links) if broadcast_links else links
     linked = (
-        placeholders.join(F.broadcast(links),
+        placeholders.join(link_side,
                           placeholders.obj == links.surface)
         .select(
             F.col("subject"),

@@ -1082,6 +1082,30 @@ def test_multimodal_review_guards(spark):
         decode_wav_pcm16(bytes(bad))
 
 
+def test_pipeline_review_guards(spark):
+    """Gazetteer cache keys are framing-unambiguous; \\x00-bearing surface
+    forms and typo'd overlap policies fail fast on the driver; dead-app
+    broadcast cache entries are purged on insert."""
+    from quad_processor_util_spark.plans.pipeline import (
+        _BC_CACHE, _gaz_content_key, broadcast_gazetteer, make_extract_fn,
+    )
+
+    # ("a\x00" -> "b") and ("a" -> "\x00b") hashed identically under the
+    # old sentinel concatenation
+    assert _gaz_content_key({"a\x00": "b"}) != _gaz_content_key({"a": "\x00b"})
+
+    with pytest.raises(ValueError, match="x00"):
+        broadcast_gazetteer(spark, {"bad\x00form": "http://e/1"})
+    bc = broadcast_gazetteer(spark, {"Ada": "http://e/ada"})
+    with pytest.raises(ValueError, match="overlap policy"):
+        make_extract_fn(bc, policy="NO_SUBS")
+
+    # a foreign-app entry is evicted when a new gazetteer is broadcast
+    _BC_CACHE[("dead-app-123", "k")] = object()
+    broadcast_gazetteer(spark, {"Alan": "http://e/alan"})
+    assert ("dead-app-123", "k") not in _BC_CACHE
+
+
 # ---------------------------------------------------------------------------
 # Duplicated-span detection (operators/spans.py)
 # ---------------------------------------------------------------------------
