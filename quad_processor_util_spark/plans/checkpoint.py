@@ -32,6 +32,17 @@ class Ledger:
     """Append-only JSONL ledger of completed buckets with counters."""
 
     def __init__(self, path: str):
+        # same driver-local constraint as write_table's sidecar: a remote
+        # URI would silently become a LOCAL directory literally named
+        # 's3:' and resumability would be lost across drivers (round-5
+        # review finding)
+        scheme = path.split("://", 1)[0] if "://" in path else ""
+        if scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"Ledger is driver-local; {scheme}:// paths need a "
+                f"remote-commit backend (BENCH/ICEBERG.md)")
+        if path.startswith("file://"):
+            path = path[len("file://"):]
         self.path = path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
@@ -53,7 +64,7 @@ class Ledger:
                 done[rec["bucket"]] = rec
         return done
 
-    def record(self, bucket: int, metrics: dict) -> None:
+    def record(self, bucket: int, metrics: dict) -> dict:
         rec = {
             "bucket": bucket,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -61,6 +72,7 @@ class Ledger:
         }
         with open(self.path, "a") as f:
             f.write(json.dumps(rec, sort_keys=True) + "\n")
+        return rec
 
 
 def write_bucketed_transcripts(
@@ -92,7 +104,12 @@ def write_bucketed_transcripts(
         transcripts
         .withColumn(bucket_col, bucket_expr(conv_col, n_buckets))
         .repartition(n_buckets, F.col(bucket_col))
-        .sortWithinPartitions(conv_col, "turn_idx")
+        # bucket_col LEADS the sort: repartition is hash-based, so a task
+        # almost surely holds several bucket values and the dynamic-
+        # partition writer would otherwise insert its own (unstable) sort
+        # by bucket alone, scrambling turn order inside files (round-5
+        # review finding)
+        .sortWithinPartitions(bucket_col, conv_col, "turn_idx")
         .write.mode("overwrite")
         .partitionBy(bucket_col)
         .parquet(path)
@@ -132,14 +149,21 @@ def run_checkpointed(
     Counters ride the write itself via df.observe() — ONE job, ONE scan of
     the input per bucket (the reference's LogRecorder counters accumulate
     during the pass, LogRecorder.scala:234-251; a pre-count plus an output
-    re-read would triple-touch every byte at 100 TB)."""
+    re-read would triple-touch every byte at 100 TB). CONTRACT: `process`
+    must return a frame derived from its input WITHOUT breaking lineage
+    (no .rdd round-trips / checkpoint()) — the observe() counters live in
+    the plan, and a write whose plan lost the CollectMetrics node would
+    leave obs.get waiting forever (documented limitation; Observation has
+    no timeout API)."""
     ledger = Ledger(ledger_path)
     done = ledger.completed()
     # a ledger written under a different bucketing covers DIFFERENT conv_id
     # subsets — resuming against it would silently skip or double-process
+    # no defaults: a record MISSING these fields (older/hand-edited
+    # ledger) must fail the guard, not auto-match it (round-5 review)
     for b, rec in done.items():
-        if rec.get("n_buckets", n_buckets) != n_buckets or \
-                rec.get("conv_col", conv_col) != conv_col:
+        if rec.get("n_buckets") != n_buckets or \
+                rec.get("conv_col") != conv_col:
             raise ValueError(
                 f"ledger {ledger_path} was written with n_buckets="
                 f"{rec.get('n_buckets')}/conv_col={rec.get('conv_col')!r}; "
@@ -159,12 +183,15 @@ def run_checkpointed(
         # it prunes to the offending partitions' footers, near-free.
         stray = (
             transcripts
-            .where((F.col(bucket_col) >= n_buckets) | (F.col(bucket_col) < 0))
+            .where((F.col(bucket_col) >= n_buckets)
+                   | (F.col(bucket_col) < 0)
+                   | F.col(bucket_col).isNull())
             .limit(1).count()
         )
         if stray:
             raise ValueError(
-                f"input has {bucket_col} values outside [0, {n_buckets}); "
+                f"input has {bucket_col} values outside [0, {n_buckets}) "
+                f"or NULL; "
                 f"the at-rest layout was bucketed differently — rerun "
                 f"write_bucketed_transcripts with n_buckets={n_buckets} or "
                 f"pass the layout's own bucket count")
@@ -192,6 +219,7 @@ def run_checkpointed(
             "n_buckets": n_buckets,
             "conv_col": conv_col,
         }
-        ledger.record(b, metrics)
-        done[b] = metrics
+        # store the SAME timestamped record the ledger wrote, so resumed
+        # and freshly-processed entries have one shape (round-5 review)
+        done[b] = ledger.record(b, metrics)
     return done

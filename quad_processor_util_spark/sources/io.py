@@ -58,6 +58,16 @@ def write_table(
         raise NotImplementedError(
             f"write_table: sidecar commit is driver-local; {scheme}:// "
             f"paths need the Iceberg-commit backend (BENCH/ICEBERG.md)")
+    # a whitelisted file:// URI must be stripped for the os/open sidecar
+    # calls below — they would otherwise target a local dir literally
+    # named 'file:' and lose the metadata the guard exists to protect
+    # (round-5 review finding)
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if mode not in ("overwrite", "append", "error", "errorifexists"):
+        # 'ignore' could no-op the data write while the sidecar below is
+        # unconditionally rewritten — a phantom commit that wipes history
+        # (round-5 review finding)
+        raise ValueError(f"write_table: unsupported mode {mode!r}")
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -69,15 +79,17 @@ def write_table(
     }
     # append mode ACCUMULATES commit history (the Iceberg snapshot-log
     # analog); overwrite starts a fresh history
-    prev = read_table_meta(path) if mode == "append" else None
+    prev = read_table_meta(local) if mode == "append" else None
     commits = (prev or {}).get("commits", [])
     commits.append(commit)
     sidecar = {**commit, "commits": commits}
-    with open(os.path.join(path, "_table_meta.json"), "w") as f:
+    with open(os.path.join(local, "_table_meta.json"), "w") as f:
         json.dump(sidecar, f, indent=2, sort_keys=True)
 
 
 def read_table_meta(path: str) -> dict | None:
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     p = os.path.join(path, "_table_meta.json")
     if not os.path.exists(p):
         return None
@@ -112,6 +124,10 @@ def merge_upsert(
     (``limit(1).count()`` — Iceberg likewise refuses multi-row matches).
     At 100 TB, partition the table and rewrite only touched partitions;
     this function is the per-partition kernel of that rewrite."""
+    if os.path.realpath(out_path) == os.path.realpath(target_path):
+        raise ValueError(
+            "merge_upsert: out_path must differ from target_path — "
+            "overwriting a path being lazily read destroys the table")
     target = read_table(spark, target_path)
     touched = updates.select(*key_cols)
     if delete_col is not None:
@@ -168,6 +184,10 @@ def compact_table(
 
     if target_file_bytes <= 0:
         raise ValueError("compact_table: target_file_bytes must be > 0")
+    if os.path.realpath(out_path) == os.path.realpath(target_path):
+        raise ValueError(
+            "compact_table: out_path must differ from target_path — "
+            "overwriting a path being lazily read destroys the table")
     files = [
         os.path.join(dp, f)
         for dp, _, fs in os.walk(target_path)
@@ -214,15 +234,16 @@ def write_jsonl(df: DataFrame, path: str,
     w.json(path)
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """Schema-enforced JSONL read. An explicit schema is REQUIRED: at
-    100 TB, schema inference is a full extra pass over the data, and a
-    drifted field type must fail loudly (columnNameOfCorruptRecord rows
-    become nulls under the default PERMISSIVE mode — callers that need
-    strictness set mode=FAILFAST on the returned reader plan upstream)."""
+def read_jsonl(spark: SparkSession, path: str, schema: str,
+               mode: str = "FAILFAST") -> DataFrame:
+    """Schema-enforced JSONL read. An explicit schema is REQUIRED (at
+    100 TB, schema inference is a full extra pass over the data) and the
+    default parse mode is FAILFAST so a drifted field type fails loudly —
+    Spark's PERMISSIVE default silently nulls malformed records; pass
+    mode="PERMISSIVE" to opt in to that (round-5 review finding)."""
     if not schema:
         raise ValueError("read_jsonl: an explicit schema is required")
-    return spark.read.schema(schema).json(path)
+    return spark.read.schema(schema).option("mode", mode).json(path)
 
 
 def read_nt_lines(spark: SparkSession, path: str) -> DataFrame:

@@ -1106,6 +1106,56 @@ def test_pipeline_review_guards(spark):
     assert ("dead-app-123", "k") not in _BC_CACHE
 
 
+def test_io_checkpoint_review_guards(spark, tmp_path):
+    """file:// table paths keep their sidecar; unsupported write modes,
+    in-place merge/compact, remote ledger paths, and NULL at-rest buckets
+    all fail loudly; fresh ledger entries carry committed_at."""
+    from quad_processor_util_spark.plans.checkpoint import (
+        Ledger, run_checkpointed,
+    )
+    from quad_processor_util_spark.sources.io import (
+        compact_table, merge_upsert, read_table_meta, write_table,
+    )
+
+    df = spark.range(5)
+    uri_path = "file://" + str(tmp_path / "uri_table")
+    write_table(df, uri_path, meta={"tag": "x"})
+    m = read_table_meta(uri_path)
+    assert m and m["tag"] == "x"  # sidecar landed despite the file:// URI
+
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_table(df, str(tmp_path / "t2"), mode="ignore")
+
+    base = str(tmp_path / "base")
+    write_table(df, base)
+    with pytest.raises(ValueError, match="must differ"):
+        merge_upsert(spark, base, df, ["id"], base)
+    with pytest.raises(ValueError, match="must differ"):
+        compact_table(spark, base, base)
+
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        Ledger("s3://bucket/run/ledger.jsonl")
+
+    # NULL at-rest bucket values must fail the stray probe, not vanish
+    tr = spark.createDataFrame(
+        [("c1", 0, "user", "Ada Lovelace works at Hopper Labs.", None, None),
+         ("c2", 0, "user", "x", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp").withColumn(
+        "bucket", F.when(F.col("conv_id") == "c1", 0))
+    with pytest.raises(ValueError, match="NULL"):
+        run_checkpointed(
+            tr, lambda d: d, str(tmp_path / "out"),
+            str(tmp_path / "led.jsonl"), n_buckets=2, bucket_col="bucket")
+
+    # fresh entries carry the ledger's committed_at timestamp
+    tr_ok = tr.where(F.col("bucket").isNotNull())
+    done = run_checkpointed(
+        tr_ok, lambda d: d, str(tmp_path / "out2"),
+        str(tmp_path / "led2.jsonl"), n_buckets=2, bucket_col="bucket")
+    assert all("committed_at" in r for r in done.values())
+
+
 # ---------------------------------------------------------------------------
 # Duplicated-span detection (operators/spans.py)
 # ---------------------------------------------------------------------------
