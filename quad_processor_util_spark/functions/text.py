@@ -108,7 +108,117 @@ def _winnow_selected(df, text_col: str, id_col: str, k: int, window: int,
                      with_pos: bool):
     """Shared winnow core: normalize, hash k-grams, window-MIN the packed
     (hash, rightmost-tie) key. ONE definition — the fp-only and
-    fp-with-position public views below cannot drift."""
+    fp-with-position public views below cannot drift.
+
+    Round-6 shape (guide §2.4 + §4.2): the old expression form exploded one
+    row PER CHARACTER (a 15M-row Exchange + per-doc sort + window + distinct
+    shuffle at sf1.0), all to compute a quantity that is per-document. The
+    selection is now computed inside mapInPandas — normalization stays a
+    Catalyst expression (identical lower/trim/regexp semantics), then C-md5
+    (hashlib) + a numpy sliding-window min produce the identical packed-key
+    math per row: ZERO shuffles, no exploded intermediate. Bit-equivalence
+    with the expression form is pinned by tests/test_round6.py (the
+    expression form survives as _winnow_selected_expr for that test)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..operators.dedup import _ensure_parallelism
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " ")
+    src = _ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), norm.alias("__t"))
+    fields = [src.schema[id_col], StructField("fp", LongType())]
+    if with_pos:
+        fields.append(StructField("pos", LongType()))
+    out_schema = StructType(fields)
+    span = _WINNOW_POS_SPAN
+
+    def _select(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        md5 = hashlib.md5
+        base = span - 1
+        for pdf in batches:
+            ids_out: list = []
+            keys_chunks: list = []
+            for i, t in zip(pdf[id_col], pdf["__t"]):
+                if t is None:
+                    # matches the expression form: a NULL text yields one
+                    # (id, NULL[, NULL]) row (NULL hash all the way through)
+                    ids_out.append((i, 0))
+                    continue
+                n = len(t)
+                m = n - k + 1 if n >= k else 1
+                if m >= span:
+                    raise ValueError(
+                        f"winnow_fingerprints: document exceeds {span - 1} "
+                        f"normalized chars — chunk it upstream")
+                b = t.encode()
+                keys = np.empty(m, dtype=np.int64)
+                if len(b) == n:  # ASCII fast path: byte == char offsets
+                    for p in range(m):
+                        h = (int.from_bytes(
+                            md5(b[p:p + k]).digest()[:8], "big") >> 4) \
+                            % 2147483647
+                        keys[p] = h * span + (base - (p + 1))
+                else:
+                    for p in range(m):
+                        h = (int.from_bytes(
+                            md5(t[p:p + k].encode()).digest()[:8],
+                            "big") >> 4) % 2147483647
+                        keys[p] = h * span + (base - (p + 1))
+                if m >= window:
+                    sel = sliding_window_view(keys, window).min(axis=1)
+                else:
+                    sel = keys.min(keepdims=True)
+                if with_pos:
+                    u = np.unique(sel)
+                else:
+                    u = np.unique(sel // span)
+                ids_out.append((i, len(u)))
+                keys_chunks.append(u)
+            if not ids_out:
+                continue
+            all_u = (np.concatenate(keys_chunks)
+                     if keys_chunks else np.empty(0, dtype=np.int64))
+            # rows with c == 0 are the NULL-text rows: one output row each,
+            # NULL fp (and pos)
+            ids_arr = np.asarray([i for i, _ in ids_out])
+            counts = np.asarray([c for _, c in ids_out], dtype=np.int64)
+            rep = np.where(counts == 0, 1, counts)
+            id_vals = np.repeat(ids_arr, rep)
+            has_fp = np.repeat(counts > 0, rep)
+            fp_col = np.full(len(id_vals), None, dtype=object)
+            if with_pos:
+                pos_col = np.full(len(id_vals), None, dtype=object)
+                fp_col[has_fp] = all_u // span
+                pos_col[has_fp] = base - (all_u % span)
+                yield pd.DataFrame({
+                    id_col: id_vals,
+                    "fp": pd.array(fp_col, dtype="Int64"),
+                    "pos": pd.array(pos_col, dtype="Int64"),
+                })
+            else:
+                fp_col[has_fp] = all_u
+                yield pd.DataFrame({
+                    id_col: id_vals,
+                    "fp": pd.array(fp_col, dtype="Int64"),
+                })
+
+    return src.mapInPandas(_select, out_schema)
+
+
+def _winnow_selected_expr(df, text_col: str, id_col: str, k: int,
+                          window: int, with_pos: bool):
+    """The original pure-expression winnow core (explode + window MIN +
+    distinct). Kept as the equivalence reference for _winnow_selected; no
+    production caller — the mapInPandas form produces identical rows with
+    zero shuffles."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -169,11 +279,12 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
     storage is ~2/(window+1) of all grams. Dup candidates then come from an
     inverted-index join on fp (tiny vs full shingle sets).
 
-    All pure Catalyst expressions: one posexplode over gram positions, one
-    window MIN over a packed (hash, -pos) key, one distinct. The k-gram
-    hash is the portable md5-prefix (same as the gate dedup variants), so
-    DuckDB replays this exactly. For >1M-char documents chunk upstream
-    (the pos packing reserves 20 bits)."""
+    Normalization is a Catalyst expression; the per-document selection runs
+    vectorized inside mapInPandas (C md5 + numpy window-min) with ZERO
+    shuffles — bit-identical to the original expression form (pinned by
+    tests/test_round6.py). The k-gram hash is the portable md5-prefix (same
+    as the gate dedup variants), so DuckDB replays this exactly. For
+    >1M-char documents chunk upstream (the pos packing reserves 20 bits)."""
     return _winnow_selected(df, text_col, id_col, k, window, with_pos=False)
 
 

@@ -149,14 +149,19 @@ def image_features(img: np.ndarray, thumb: int = 8) -> tuple[int, int, int, list
     bits = (gray > gray.mean()).reshape(-1)
     # ahash contract: the bit string folded into 64 bits (shift wraps mod
     # 2^64 so thumb > 8 cannot overflow the LongType column; thumb = 8 is
-    # the canonical full-fidelity hash) — round-5 review finding
-    mask = (1 << 64) - 1
-    v = 0
-    for b in bits:
-        v = ((v << 1) | int(b)) & mask
+    # the canonical full-fidelity hash) — round-5 review finding.
+    # thumb == 8 (64 bits) folds via packbits (MSB-first per byte — the
+    # same v = (v << 1) | b order) instead of a 64-step Python loop.
+    if bits.size == 64:
+        v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    else:
+        mask = (1 << 64) - 1
+        v = 0
+        for b in bits:
+            v = ((v << 1) | int(b)) & mask
     if v >= 1 << 63:
         v -= 1 << 64
-    return img.shape[1], img.shape[0], img.shape[2], [float(x) for x in feat], v
+    return img.shape[1], img.shape[0], img.shape[2], feat.tolist(), v
 
 
 def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
@@ -186,7 +191,7 @@ def audio_features(sr: int, samples: np.ndarray, bins: int = 32
     zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
     hist, _ = np.histogram(np.abs(x), bins=bins, range=(0.0, 1.0))
     feat = (hist / max(n, 1)).astype(np.float64)
-    return dur, rms, zcr, [float(v) for v in feat]
+    return dur, rms, zcr, feat.tolist()
 
 
 DECODED_SCHEMA = StructType([
@@ -224,24 +229,35 @@ def decode_media(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
         cols = ["media_id", "kind", "mime", "n_bytes", "width", "height",
                 "duration_ms", "rms", "zcr", "ahash", "feat"]
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                payload = bytes(r.payload) if r.payload is not None else b""
-                mime = r.mime or ""
+            # column accumulators (a list-of-tuples pd.DataFrame pays
+            # per-row inference; dict-of-lists assembles columnar — round 6)
+            acc: dict[str, list] = {c: [] for c in cols}
+
+            def emit(mid, kind, mime, nb, w, h, dur, rms, zcr, ahash, feat):
+                acc["media_id"].append(mid); acc["kind"].append(kind)
+                acc["mime"].append(mime); acc["n_bytes"].append(nb)
+                acc["width"].append(w); acc["height"].append(h)
+                acc["duration_ms"].append(dur); acc["rms"].append(rms)
+                acc["zcr"].append(zcr); acc["ahash"].append(ahash)
+                acc["feat"].append(feat)
+
+            for mid, kind, mime0, pl in zip(
+                    pdf["media_id"], pdf["kind"], pdf["mime"], pdf["payload"]):
+                payload = bytes(pl) if pl is not None else b""
+                mime = mime0 or ""
                 if mime in _REAL_IMAGE_MIMES:
                     w, h, _c, feat, ahash = image_features(decode_ppm(payload))
-                    rows.append((r.media_id, r.kind, mime, len(payload),
-                                 w, h, None, None, None, ahash, feat))
+                    emit(mid, kind, mime, len(payload), w, h,
+                         None, None, None, ahash, feat)
                 elif mime in _REAL_AUDIO_MIMES:
                     sr, samples = decode_wav_pcm16(payload)
                     dur, rms, zcr, feat = audio_features(sr, samples)
-                    rows.append((r.media_id, r.kind, mime, len(payload),
-                                 None, None, dur, rms, zcr, None, feat))
+                    emit(mid, kind, mime, len(payload), None, None,
+                         dur, rms, zcr, None, feat)
                 elif on_unsupported == "fake":
                     checksum, feat_dim, feature_hash = _fake_decode(payload)
-                    rows.append((r.media_id, r.kind, mime, len(payload),
-                                 None, None, None, None, None,
-                                 feature_hash, [0.0] * feat_dim))
+                    emit(mid, kind, mime, len(payload), None, None,
+                         None, None, None, feature_hash, [0.0] * feat_dim)
                 elif on_unsupported == "skip":
                     continue
                 else:
@@ -250,11 +266,11 @@ def decode_media(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
                         f"(PPM/WAV decode for real; JPEG/PNG/MP3/MP4 need "
                         f"libs that are not installed)"
                     )
-            out = pd.DataFrame(rows, columns=cols)
+            out = pd.DataFrame(acc, columns=cols)
             # mixed int/None columns make pandas infer float64, which
             # silently truncates 64-bit hashes to the 53-bit mantissa —
             # force the nullable integer dtype (caught by the media gate)
-            out["ahash"] = pd.array([r[9] for r in rows], dtype="Int64")
+            out["ahash"] = pd.array(acc["ahash"], dtype="Int64")
             yield out
 
     cols = media.select("media_id", "kind", "mime", "payload")
@@ -284,30 +300,60 @@ def synth_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     samples are multiples of 256 → squared normalized samples are multiples
     of 2^-14, so sums are order-independent), making the gate bit-stable."""
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for v in pdf[id_col]:
-                i = int(v)
-                m = np.frombuffer(
-                    hashlib.md5(str(i).encode()).digest(), dtype=np.uint8
-                )
-                img = np.repeat(m, 3).reshape(4, 4, 3)
-                rows.append((i, "image", "image/ppm", encode_ppm(img),
-                             4, 4, None))
-                samples = ((m.astype(np.int32) - 128) * 256).astype("<i2")
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as wf:
-                    wf.setnchannels(1)
-                    wf.setsampwidth(2)
-                    wf.setframerate(_SYNTH_SR)
-                    wf.writeframes(samples.tobytes())
-                rows.append((i + AUDIO_ID_OFFSET, "audio", "audio/wav",
-                             buf.getvalue(), None, None,
-                             int(_SYNTH_N * 1000 / _SYNTH_SR)))
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+    # WAV container bytes for 16 mono PCM-16 frames at _SYNTH_SR are
+    # constant except the sample payload: write ONE reference file via the
+    # stdlib wave module (byte-identical by construction) and reuse its
+    # header for every row instead of re-running wave.open per id.
+    _buf = io.BytesIO()
+    with wave.open(_buf, "wb") as _wf:
+        _wf.setnchannels(1)
+        _wf.setsampwidth(2)
+        _wf.setframerate(_SYNTH_SR)
+        _wf.writeframes(b"\x00" * (2 * _SYNTH_N))
+    wav_header = _buf.getvalue()[: -2 * _SYNTH_N]
+    ppm_header = b"P6\n4 4\n255\n"
+    dur_ms = int(_SYNTH_N * 1000 / _SYNTH_SR)
 
-    return ids.select(id_col).mapInPandas(_synth, MEDIA_SCHEMA)
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        names = [f.name for f in MEDIA_SCHEMA]
+        for pdf in batches:
+            ids_int = [int(v) for v in pdf[id_col]]
+            n = len(ids_int)
+            if not n:
+                continue
+            M = np.stack([
+                np.frombuffer(md5(str(i).encode()).digest(), dtype=np.uint8)
+                for i in ids_int
+            ])
+            R = np.repeat(M, 3, axis=1)                       # (n, 48) raster
+            S = ((M.astype(np.int32) - 128) * 256).astype("<i2")  # (n, 16)
+            media_id = np.empty(2 * n, dtype=np.int64)
+            media_id[0::2] = ids_int
+            media_id[1::2] = np.asarray(ids_int) + AUDIO_ID_OFFSET
+            payload: list = [None] * (2 * n)
+            payload[0::2] = [ppm_header + R[j].tobytes() for j in range(n)]
+            payload[1::2] = [wav_header + S[j].tobytes() for j in range(n)]
+            out = pd.DataFrame({
+                "media_id": media_id,
+                "kind": np.tile(np.asarray(["image", "audio"], dtype=object), n),
+                "mime": np.tile(
+                    np.asarray(["image/ppm", "audio/wav"], dtype=object), n),
+                "payload": payload,
+                "width": pd.array([4, None] * n, dtype="Int32"),
+                "height": pd.array([4, None] * n, dtype="Int32"),
+                "duration_ms": pd.array([None, dur_ms] * n, dtype="Int32"),
+            }, columns=names)
+            yield out
+
+    # a single-file id scan would run the whole synth+decode chain in one
+    # task (documents.parquet is one split even at sf1.0) — re-spread to
+    # the session's shuffle width first (guide §2.5 input skew; same
+    # policy as the dedup family's _ensure_parallelism)
+    from .operators.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(ids.select(id_col)).mapInPandas(
+        _synth, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -361,21 +361,27 @@ def ngram_jaccard_pairs(
     get an exact verify on the full (capped) shingle sets. Identical output
     to the naive quadratic join — only the candidate space shrinks."""
     src = _ensure_parallelism(df.select(id_col, text_col))
+    # The shingle relation feeds several consumers (hot-cap, sizes,
+    # frequency ranking, both prefix sides, the verify sets). Round 6: cut
+    # the lineage with a LAZY localCheckpoint so the explode+distinct
+    # subtree materializes ONCE — the explain at sf1.0 showed the whole
+    # subtree (scan -> explode -> distinct -> anti-join) planned 8× with no
+    # exchange reuse (each consumer's partial-agg shapes differ), which is
+    # why the query scaled 14× for 10× data (111 s driver-measured). A
+    # round-4 A/B had measured persist() of this relation slower at sf0.1;
+    # re-measured round 6 at sf1.0 the recompute loses by ~4× and the
+    # checkpoint also wins at sf0.1 (OPTIMIZATION_r06.md) — the earlier
+    # verdict was an artifact of the smaller scale. At 100 TB this is the
+    # guide-§8 "decide with small rows" table: ids + shingle hashes, a few
+    # % of corpus bytes, materialized once per run.
     sh = src.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
         F.col("__df") > max_shingle_df
     )
-    # The capped shingle relation feeds several consumers (sizes, frequency
-    # ranking, both prefix sides, the verify sets). Deliberately NOT
-    # persisted: an A/B at sf0.1/local[32] measured persist() consistently
-    # SLOWER (cache-write of the exploded relation exceeds recompute once
-    # the data is non-trivial; at toy sf0.01/local[8] persist won, which is
-    # exactly the trap) — and at 100 TB caching a bigger-than-input
-    # intermediate is a non-starter while shuffle-file reuse of the
-    # identical exchanges is free.
     sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
+    sh = sh.localCheckpoint(eager=False)
     # sizes AFTER the df-cap: numerator and denominator must share the same
     # shingle universe, or capped corpora silently underestimate jaccard
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
@@ -383,13 +389,41 @@ def ngram_jaccard_pairs(
     if prefix_filter:
         from pyspark.sql import Window
 
-        freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__freq"))
-        ranked = (
-            sh.join(freq, "__sh")
+        # Round-6 shape (guide §2.3 "shuffle keys, not payloads" + §8):
+        # the old verify joined ~KB string-shingle ARRAYS onto every
+        # candidate row and shuffled them twice — at sf1.0 (52M candidates
+        # from 50k template-heavy docs) that one stage was 95 of 111 s.
+        # Now: (1) shingles get dense INT codes in global rarest-first
+        # (__freq, __sh) order — the code order IS the old prefix ranking
+        # order, codes are injective so every downstream set size is
+        # identical; (2) candidates are pruned with the exact PPJoin
+        # size + positional bounds (provably no false negatives — see
+        # inline notes; verified output-identical by the oracle gate and
+        # tests); (3) jaccard = inter / (|A| + |B| - inter) with the
+        # intersection computed on int arrays, so no array_union and no
+        # string arrays anywhere. The vocab-wide rank window is a single
+        # sequential pass over the DISTINCT-shingle relation (Heaps-law
+        # sublinear; the production max_shingle_df cap bounds it further) —
+        # at a truly enormous vocab assign codes with a range-partitioned
+        # two-pass rank (operators/packing.py pattern) instead.
+        codes = (
+            sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__freq"))
             .withColumn(
+                "__code",
+                F.row_number().over(Window.orderBy("__freq", "__sh")),
+            )
+            .select("__sh", "__code")
+        )
+        shc = (
+            sh.join(codes, "__sh")
+            .select(id_col, "__code")
+            .localCheckpoint(eager=False)
+        )
+        ranked = (
+            shc.withColumn(
                 "__pos",
                 F.row_number().over(
-                    Window.partitionBy(id_col).orderBy("__freq", "__sh")
+                    Window.partitionBy(id_col).orderBy("__code")
                 ),
             )
             .join(sizes, id_col)
@@ -400,18 +434,40 @@ def ngram_jaccard_pairs(
             F.col("__pos")
             <= F.col("__sz")
             - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1
-        ).select(id_col, "__sh")
+        ).select(id_col, "__code", "__pos", "__sz").localCheckpoint(eager=False)
         a, b = prefix.alias("a"), prefix.alias("b")
+        # exact candidate pruning, both bounds sound (no false negatives):
+        # - size bound: J(A,B) <= min/max, so J >= t forces
+        #   min(|A|,|B|) >= t*max(|A|,|B|);
+        # - positional bound: if |A∩B| >= minov, the FIRST shared element
+        #   (in code order) sits at pos_X <= |X| - |A∩B| + 1 in both docs,
+        #   and it IS a prefix element of both, so that occurrence passes
+        #   1 + min(|A|-posA, |B|-posB) >= |A∩B| >= minov.
+        # epsilons relax the float comparisons downward only (a relaxed
+        # bound admits extra candidates, never drops a true pair).
+        minov = (F.lit(threshold / (1.0 + threshold))
+                 * (F.col("a.__sz") + F.col("b.__sz")) - F.lit(1e-9))
         cands = (
-            a.join(b, "__sh")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            a.join(b, "__code")
+            .where(
+                (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.least("a.__sz", "b.__sz")
+                   >= F.lit(threshold) * F.greatest("a.__sz", "b.__sz")
+                   - F.lit(1e-9))
+                & (F.lit(1) + F.least(F.col("a.__sz") - F.col("a.__pos"),
+                                      F.col("b.__sz") - F.col("b.__pos"))
+                   >= minov)
+            )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.__sz").alias("__sza"),
+                F.col("b.__sz").alias("__szb"),
             )
             .distinct()
         )
-        sets_df = sh.groupBy(id_col).agg(F.collect_list("__sh").alias("__set"))
+        sets_df = shc.groupBy(id_col).agg(
+            F.collect_list("__code").alias("__set"))
         out = (
             cands.join(
                 sets_df.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")),
@@ -422,8 +478,9 @@ def ngram_jaccard_pairs(
             .select(
                 "id_a", "id_b",
                 (
-                    F.size(F.array_intersect("__sa", "__sb"))
-                    / F.size(F.array_union("__sa", "__sb"))
+                    F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                    / (F.col("__sza") + F.col("__szb")
+                       - F.size(F.array_intersect("__sa", "__sb")))
                 ).alias("jaccard"),
             )
             .where(F.col("jaccard") >= threshold)

@@ -95,12 +95,17 @@ def cosine_topk(
     """Exact top-k neighbors per query (excluding self) ->
     (query_id, rank, neighbor_id, cosine_sim). Queries broadcast; ties broken
     by neighbor id for determinism."""
+    from .dedup import _ensure_parallelism
+
     q = _with_norm(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ), "__qv", "__qn")
-    c = _with_norm(corpus.select(
+    # a single-split corpus scan would run the whole broadcast-nested-loop
+    # score pass on one core (embeddings.parquet is one file even at sf1.0)
+    # — re-spread to the session width; no-op on a wide scan (round 6)
+    c = _with_norm(_ensure_parallelism(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ), "__cv", "__cn")
+    )), "__cv", "__cn")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
@@ -167,7 +172,10 @@ def lsh_buckets(
                 "bucket": buckets.reshape(-1),
             })
 
-    return df.select(id_col, vec_col).mapInPandas(_hash, out_schema)
+    from .dedup import _ensure_parallelism
+
+    return _ensure_parallelism(
+        df.select(id_col, vec_col)).mapInPandas(_hash, out_schema)
 
 
 def lsh_topk(
@@ -187,7 +195,13 @@ def lsh_topk(
                                 tables, seed), vec_col, "__cn")
     qb = _with_norm(lsh_buckets(queries, dim, id_col, vec_col, planes,
                                 tables, seed), vec_col, "__qn")
-    cands = (
+    # Score BEFORE the pair dedup (round 6, guide §2.3): a candidate pair's
+    # cosine is identical in every bucket it appears in, so dropDuplicates
+    # can run on (query_id, neighbor_id, score) scalars — the old shape
+    # shuffled both 64-float vectors per candidate row (×tables duplicates)
+    # through the dedup exchange. Re-scoring a duplicate pair map-side is
+    # far cheaper than shuffling its vectors.
+    scored = (
         cb.alias("c")
         .join(
             qb.alias("q").withColumnRenamed(id_col, "query_id").withColumnRenamed(vec_col, "__qv"),
@@ -197,16 +211,10 @@ def lsh_topk(
         .select(
             "query_id",
             F.col(f"c.{id_col}").alias("neighbor_id"),
-            F.col("__qv"),
-            F.col(f"c.{vec_col}").alias("__cv"),
-            "__qn",
-            "__cn",
+            _paired_cosine("__qv", f"c.{vec_col}", "__qn", "__cn")
+            .alias("cosine_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        _paired_cosine("__qv", "__cv", "__qn", "__cn").alias("cosine_sim")
     )
     return _rank_topk(scored, k)
 
@@ -308,7 +316,10 @@ def ivf_assign(
                 "list_id": top.reshape(-1),
             })
 
-    return df.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+    from .dedup import _ensure_parallelism
+
+    return _ensure_parallelism(
+        df.select(id_col, vec_col)).mapInPandas(_assign, out_schema)
 
 
 def ivf_topk(
@@ -339,22 +350,18 @@ def ivf_topk(
         .withColumnRenamed(id_col, "query_id")
         .withColumnRenamed(vec_col, "__qv")
     )
-    cands = (
+    # score before the pair dedup — same rationale as lsh_topk (round 6):
+    # the dedup exchange carries 3 scalars instead of two 64-float vectors
+    scored = (
         cb.join(qb, "list_id")
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.col("__qv"),
-            F.col(vec_col).alias("__cv"),
-            "__qn",
-            "__cn",
+            _paired_cosine("__qv", vec_col, "__qn", "__cn")
+            .alias("cosine_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        _paired_cosine("__qv", "__cv", "__qn", "__cn").alias("cosine_sim")
     )
     return _rank_topk(scored, k)
 
@@ -373,22 +380,20 @@ def embedding_cosine_dedup_pairs(
     hyperplane-bucket self-join. More tables / fewer planes -> higher recall."""
     b = _with_norm(lsh_buckets(df, dim, id_col, vec_col, planes, tables,
                                seed), vec_col, "__n")
-    pairs = (
+    # score + threshold BEFORE the pair dedup (round 6): duplicates of a
+    # pair score identically, so the dedup exchange carries only the
+    # surviving (id_a, id_b, score) scalars — not two vectors per
+    # bucket-duplicate — and the threshold prunes first
+    return (
         b.alias("a")
         .join(b.alias("b"), ["table", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
+            _paired_cosine(f"a.{vec_col}", f"b.{vec_col}", "a.__n", "b.__n")
+            .alias("cosine_sim"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        pairs.select("id_a", "id_b",
-                     _paired_cosine("__va", "__vb", "__na", "__nb").alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )

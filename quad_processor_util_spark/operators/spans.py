@@ -65,13 +65,27 @@ def duplicate_spans(
             f"duplicate_spans: min_docs must be >= 2 (got {min_docs}) — "
             "1 would flag every selected gram in the corpus")
     occ = winnow_occurrences(docs, text_col, id_col, k=k, window=window)
-    shared = (
-        occ.groupBy("fp")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    # Shared-fp filter in ONE pass over occ (round 6, guide §2.4): the old
+    # groupBy(fp) -> join-back shape computed the whole winnowing subtree
+    # TWICE (once per consumer — no exchange reuse, the partial-agg side
+    # differs) and paid a second equi-join exchange. Two window functions
+    # over the same fp partitioning share one Exchange + one sort:
+    # __first marks the first row of each (fp, doc) run in the (id, pos)
+    # sort order, its partition-wide sum is exactly
+    # count_distinct(id) per fp. NULL fps (NULL-text docs) are dropped
+    # explicitly — the old equi-join dropped them implicitly.
+    w_fp = Window.partitionBy("fp").orderBy(id_col, "pos")
+    first = F.when(
+        F.lag(id_col).over(w_fp).isNull()
+        | (F.lag(id_col).over(w_fp) != F.col(id_col)),
+        F.lit(1)).otherwise(F.lit(0))
+    hits = (
+        occ.where(F.col("fp").isNotNull())
+        .withColumn("__first", first)
+        .withColumn("__nd", F.sum("__first").over(Window.partitionBy("fp")))
         .where(F.col("__nd") >= min_docs)
-        .select("fp")
-    )
-    hits = occ.join(shared, "fp")  # inverted index: equi-join, no pairs
+        .drop("__first", "__nd")
+    )  # inverted index: one shuffle on fp, no pairs
 
     # gaps-and-islands with FIXED-length intervals: sorted by pos, the
     # running max end is simply lag(pos) + k, so a new island starts
