@@ -455,6 +455,11 @@ def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
     yields exactly one chunk; zero tokens yields zero rows."""
     if overlap >= max_tokens:
         raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    from ..operators.dedup import _ensure_parallelism
+
+    # a single-split scan would run the whole map-only expansion on one
+    # core (guide §2.5 input skew; no-op on a wide scan — round 6)
+    df = _ensure_parallelism(df)
     step = max_tokens - overlap
     toks = _words(F.col(text_col))
     n = F.size(toks)

@@ -39,8 +39,9 @@ repetition/unigram gate replays in DuckDB.
 
 100 TB stance: the corpus is touched ONCE (word-count groupBy with
 map-side combine); all iteration state is the vocabulary table, which is
-``localCheckpoint``-ed eagerly each round so the plan does not grow with
-the merge count, and whose size only shrinks (merges never add rows).
+``localCheckpoint``-ed (lazily — round 6) each round so the plan does not
+grow with the merge count, and whose size only shrinks (merges never add
+rows).
 No per-row Python anywhere — the merge application is a Catalyst
 ``aggregate`` fold over each word's symbol array.
 """
@@ -58,9 +59,13 @@ __all__ = ["bpe_pair_counts", "fit_bpe", "encode_bpe"]
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     """-> (word, freq): the one corpus-sized pass."""
+    from .dedup import _ensure_parallelism
+
+    # re-spread a single-split scan so the explode + map-side partial agg
+    # use the whole session width (no-op on a wide scan — round 6)
     return (
-        docs.select(F.explode(_words(F.lower(F.col(text_col))))
-                    .alias("word"))
+        _ensure_parallelism(docs.select(F.col(text_col)))
+        .select(F.explode(_words(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     )
 
@@ -151,10 +156,12 @@ def fit_bpe(
     vocab = _word_counts(docs, text_col).select(
         "word", "freq",
         F.expr("filter(split(word, ''), x -> x != '')").alias("syms"))
-    # eager: the loop below re-reads `vocab` each round; without a
-    # materialization barrier every iteration would replay the whole
-    # lineage (corpus scan + all prior merges)
-    vocab = vocab.localCheckpoint(eager=True)
+    # lazy checkpoint (round 6): the loop below re-reads `vocab` each
+    # round; the checkpoint cuts lineage so no iteration replays the whole
+    # corpus scan + prior merges, and eager=False folds the materialization
+    # into the round's own argmax job instead of a separate blocking job
+    # per round (the per-round collect() is the only driver action)
+    vocab = vocab.localCheckpoint(eager=False)
 
     merges: List[tuple] = []
     for step in range(n_merges):
@@ -186,7 +193,7 @@ def fit_bpe(
             "word", "freq",
             F.when(F.col("word").contains(l + r), F.expr(fold))
             .otherwise(F.col("syms")).alias("syms"))
-        vocab = vocab.localCheckpoint(eager=True)
+        vocab = vocab.localCheckpoint(eager=False)
     return merges, vocab
 
 
@@ -281,7 +288,11 @@ def encode_bpe(
     norm = _normalize_merges(merges)
     if id_col not in docs.columns or text_col not in docs.columns:
         raise ValueError(f"encode_bpe: need columns {id_col!r}, {text_col!r}")
-    prep = docs.select(
+    from .dedup import _ensure_parallelism
+
+    # zero-shuffle mapInPandas: a single-split scan would encode the whole
+    # corpus in one task — re-spread first (no-op on a wide scan, round 6)
+    prep = _ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         _words(F.lower(F.col(text_col))).alias("_bpe_words"))
     out_schema = StructType([

@@ -194,6 +194,61 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingle_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exploded (id_col, __sh) rows of :func:`word_shingles`, distinct per
+    document — the shape every shingle consumer actually wants.
+
+    Round 6: the expression form builds each shingle with an interpreted
+    ``transform(concat_ws(slice(...)))`` — measured ~2.5 s of the minhash
+    signature pass at sf1.0 all by itself (guide §4.2). Here tokenization
+    (lower/trim/split — the locale-sensitive part) stays a Catalyst
+    expression, and only the locale-FREE slice-join (one C-speed
+    ``" ".join`` per gram) plus the per-doc dedup run in mapInPandas.
+    Output rows are exactly ``explode(word_shingles(col, n))`` per doc —
+    pinned by tests/test_round6.py — already distinct per (id, shingle),
+    so callers can drop their global ``.distinct()`` when the id is part
+    of the key."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " ")
+    src = _ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.split(norm, " ").alias("__toks"))
+    out_schema = StructType([src.schema[id_col],
+                             StructField("__sh", StringType())])
+
+    def _shingle(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out: list = []
+            counts: list = []
+            grams_out: list = []
+            for i, toks in zip(pdf[id_col], pdf["__toks"]):
+                # NULL text: split(NULL) is NULL and concat_ws over it
+                # yields "" — one empty shingle, same as empty text
+                t = list(toks) if toks is not None else []
+                k = len(t) - (n - 1)
+                if k > 0:
+                    # dict preserves first-occurrence order == array_distinct
+                    grams = list(dict.fromkeys(
+                        " ".join(t[j:j + n]) for j in range(k)))
+                else:
+                    grams = [" ".join(t)]
+                ids_out.append(i)
+                counts.append(len(grams))
+                grams_out.extend(grams)
+            if not ids_out:
+                continue
+            yield pd.DataFrame({
+                id_col: np.repeat(np.asarray(ids_out), counts),
+                "__sh": grams_out,
+            })
+
+    return src.mapInPandas(_shingle, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
@@ -223,12 +278,9 @@ def minhash_signatures(
     coeffs = _perm_coeffs(num_hashes, seed)
     # materialize the base hash ONCE per shingle row — the K permutations
     # are affine transforms of it (inlining h into each agg would make
-    # codegen evaluate the base hash K times per row)
-    src = _ensure_parallelism(df.select(id_col, text_col))
-    sh = src.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    ).select(
+    # codegen evaluate the base hash K times per row). Shingle rows come
+    # from the mapInPandas fast path (word_shingle_rows, round 6).
+    sh = word_shingle_rows(df, text_col, id_col, shingle_n).select(
         id_col,
         F.pmod(_base_hash(F.col("__sh"), hash_kind), F.lit(_MERSENNE)).alias("__h"),
     )
@@ -360,12 +412,11 @@ def ngram_jaccard_pairs(
     whole prefix bounds the overlap below t·max(|A|,|B|)). Survivor pairs
     get an exact verify on the full (capped) shingle sets. Identical output
     to the naive quadratic join — only the candidate space shrinks."""
-    src = _ensure_parallelism(df.select(id_col, text_col))
     # The shingle relation feeds several consumers (hot-cap, sizes,
     # frequency ranking, both prefix sides, the verify sets). Round 6: cut
-    # the lineage with a LAZY localCheckpoint so the explode+distinct
-    # subtree materializes ONCE — the explain at sf1.0 showed the whole
-    # subtree (scan -> explode -> distinct -> anti-join) planned 8× with no
+    # the lineage with a LAZY localCheckpoint so the shingle subtree
+    # materializes ONCE — the explain at sf1.0 showed the whole subtree
+    # (scan -> explode -> distinct -> anti-join) planned 8× with no
     # exchange reuse (each consumer's partial-agg shapes differ), which is
     # why the query scaled 14× for 10× data (111 s driver-measured). A
     # round-4 A/B had measured persist() of this relation slower at sf0.1;
@@ -373,10 +424,11 @@ def ngram_jaccard_pairs(
     # checkpoint also wins at sf0.1 (OPTIMIZATION_r06.md) — the earlier
     # verdict was an artifact of the smaller scale. At 100 TB this is the
     # guide-§8 "decide with small rows" table: ids + shingle hashes, a few
-    # % of corpus bytes, materialized once per run.
-    sh = src.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
-    ).distinct().localCheckpoint(eager=False)
+    # % of corpus bytes, materialized once per run. word_shingle_rows
+    # already emits per-doc-distinct rows, so no global .distinct() shuffle
+    # is needed (the id is part of the key).
+    sh = word_shingle_rows(df, text_col, id_col, shingle_n) \
+        .localCheckpoint(eager=False)
     hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
         F.col("__df") > max_shingle_df
     )

@@ -23,9 +23,9 @@ list on src (shuffle on the node id, the same key every round — on a real
 cluster bucket both sides by node to make every round's join co-located)
 plus one groupBy(dst) with map-side partial sums. The dangling mass is a
 1-row aggregate broadcast back via crossJoin — ZERO driver-side collects
-in the loop. ``localCheckpoint(eager=True)`` truncates lineage each round
-(same discipline as cc.py/bpe.py) so the plan never grows with the
-iteration count.
+in the loop. LAZY ``localCheckpoint`` truncates lineage each round (same
+discipline as cc.py/bpe.py) so the plan never grows with the iteration
+count, without paying one blocking job per round (round 6).
 
 Fixed-iteration runs are exactly SQL-replayable by unrolling the rounds
 as CTEs — the ``entity_pagerank`` gate does precisely that (3 rounds,
@@ -56,21 +56,28 @@ def pagerank(
         raise ValueError("pagerank: iterations must be >= 0")
     if not (0.0 <= damping <= 1.0):
         raise ValueError("pagerank: damping must be in [0, 1]")
+    # LAZY localCheckpoints throughout (round 6): eager=True ran one
+    # blocking job per checkpoint — 3 fixed-latency jobs per iteration on
+    # graphs whose per-round compute is milliseconds. eager=False cuts the
+    # plan identically (each consumer references the checkpointed RDD, not
+    # the upstream query plan) and materializes each relation exactly once,
+    # on first use; the `nodes.count()` below is the only driver action
+    # before the caller's own.
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)  # reused every round; pin it once
+        .localCheckpoint(eager=False)  # reused every round; pin it once
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     outdeg = (
         e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # ONE bounded driver scalar outside the loop (threshold-probe
     # discipline): N sizes the teleport term.
@@ -103,6 +110,6 @@ def pagerank(
                  * (F.coalesce(F.col("__c"), F.lit(0.0))
                     + F.col("__dmass") / F.lit(float(n)))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks

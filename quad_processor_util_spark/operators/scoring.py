@@ -72,7 +72,13 @@ def unigram_logprob_score(
     """
     if min_count < 1:
         raise ValueError("unigram_logprob_score: min_count must be >= 1")
-    fit = docs if fit_on is None else fit_on
+    from .dedup import _ensure_parallelism
+
+    # single-split scans would run BOTH tokenize+partial-agg passes on one
+    # core (the explode feeds a map-side partial aggregate in the same
+    # task); re-spread first — no-op on a wide scan (round 6)
+    docs = _ensure_parallelism(docs)
+    fit = docs if fit_on is None else _ensure_parallelism(fit_on)
     fit_toks = fit.select(_tokens(F.col(text_col)).alias("toks")) \
         .select(F.explode("toks").alias("tok"))
     vocab = fit_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")) \

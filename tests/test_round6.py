@@ -51,6 +51,26 @@ def test_winnow_fast_path_matches_expression_form(spark, with_pos):
     assert sorted(map(key, fast)) == sorted(map(key, ref))
 
 
+def test_word_shingle_rows_matches_expression_form(spark):
+    from quad_processor_util_spark.operators.dedup import (
+        word_shingle_rows,
+        word_shingles,
+    )
+
+    rows = [
+        (1, None), (2, ""), (3, "   "), (4, "one"), (5, "two words"),
+        (6, "a b c d e f"), (7, "a a a a a a"),         # dup shingles
+        (8, "Mixed   CASE\ttokens  here and naïve ünïcödé words too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = word_shingle_rows(df, "text", "doc_id", 3).collect()
+    ref = df.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("__sh")
+    ).collect()
+    assert sorted((r["doc_id"], r["__sh"]) for r in fast) \
+        == sorted((r["doc_id"], r["__sh"]) for r in ref)
+
+
 def test_winnow_fast_path_rejects_oversized_docs(spark):
     from quad_processor_util_spark.functions.text import winnow_fingerprints
 
