@@ -266,6 +266,11 @@ def decode_media(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
                         f"(PPM/WAV decode for real; JPEG/PNG/MP3/MP4 need "
                         f"libs that are not installed)"
                     )
+            if not acc["media_id"]:
+                # an all-skipped batch must not yield: pd.DataFrame from
+                # empty lists types every column float64, and Arrow cannot
+                # cast an empty float64 ndarray to list<float> (feat)
+                continue
             out = pd.DataFrame(acc, columns=cols)
             # mixed int/None columns make pandas infer float64, which
             # silently truncates 64-bit hashes to the 53-bit mantissa —
