@@ -429,14 +429,17 @@ def ngram_jaccard_pairs(
     # is needed (the id is part of the key).
     sh = word_shingle_rows(df, text_col, id_col, shingle_n) \
         .localCheckpoint(eager=False)
-    hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
-        F.col("__df") > max_shingle_df
-    )
-    sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
-    sh = sh.localCheckpoint(eager=False)
-    # sizes AFTER the df-cap: numerator and denominator must share the same
-    # shingle universe, or capped corpora silently underestimate jaccard
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    # an effectively-unbounded cap (the gate variant passes 1<<31) drops
+    # nothing: skip the hot-shingle aggregate pass + anti-join outright
+    # instead of running them to subtract an empty set (guide §1.2 — don't
+    # compute what the result provably ignores; round 6)
+    if max_shingle_df < (1 << 31):
+        hot = sh.groupBy("__sh").agg(
+            F.count(F.lit(1)).alias("__df")).where(
+            F.col("__df") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
+        sh = sh.localCheckpoint(eager=False)
 
     if prefix_filter:
         from pyspark.sql import Window
@@ -471,21 +474,32 @@ def ngram_jaccard_pairs(
             .select(id_col, "__code")
             .localCheckpoint(eager=False)
         )
-        ranked = (
-            shc.withColumn(
-                "__pos",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy("__code")
-                ),
-            )
-            .join(sizes, id_col)
+        # __pos and __sz from ONE window pass (count over the same
+        # id-partition rides the row_number exchange) — the separate
+        # sizes aggregate + join-back was a whole extra pass over the
+        # shingle relation (round 6)
+        wdoc = Window.partitionBy(id_col)
+        ranked = shc.select(
+            id_col, "__code",
+            F.row_number().over(wdoc.orderBy("__code")).alias("__pos"),
+            F.count(F.lit(1)).over(wdoc).alias("__sz"),
         )
         # epsilon guards the ceil against upward float error at integer
-        # boundaries (a too-short prefix loses pairs; too long only costs)
+        # boundaries (a too-short prefix loses pairs; too long only costs).
+        # Round 6: k=2 extended prefix (PPJoin k-prefix lemma) — one extra
+        # indexed position per doc (+~4% join rows) buys the right to
+        # demand TWO shared prefix codes downstream: for any pair with
+        # J >= t (so |A∩B| = α >= ceil(t·|A|) under the size-ratio
+        # filter), the two SMALLEST shared codes e1 < e2 each have >= α-j
+        # intersection elements after them, hence pos(e_j) <= |X| - α + j
+        # <= |X| - ceil(t·|X|) + 2 in both docs — both land in both
+        # extended prefixes. Requiring cnt >= 2 then kills the dominant
+        # junk class (pairs sharing exactly one rare code), which at
+        # sf1.0 was 16.3M of 16.3M candidates for 2.8k true pairs.
         prefix = ranked.where(
             F.col("__pos")
             <= F.col("__sz")
-            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1
+            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 2
         ).select(id_col, "__code", "__pos", "__sz").localCheckpoint(eager=False)
         a, b = prefix.alias("a"), prefix.alias("b")
         # exact candidate pruning, both bounds sound (no false negatives):
@@ -499,6 +513,27 @@ def ngram_jaccard_pairs(
         # bound admits extra candidates, never drops a true pair).
         minov = (F.lit(threshold / (1.0 + threshold))
                  * (F.col("a.__sz") + F.col("b.__sz")) - F.lit(1e-9))
+        # Round 6: the old `.distinct()` kept every pair sharing ONE
+        # surviving prefix code — at sf1.0 that was 16.3M candidates of
+        # which 2.8k verified, and the sets join + array_intersect over
+        # the junk was 12 of 27 s. The distinct becomes a groupBy (same
+        # exchange, map-side combined) accumulating the PPJoin LAST-match
+        # bound: cnt shared prefix codes + positions of the LAST shared
+        # one. Soundness (no false negatives): with per-doc positions
+        # monotone in the global code order, every intersection element
+        # <= the last shared prefix code l is itself in BOTH prefixes
+        # (pos <= pos(l) <= prefix length) and hence counted in cnt;
+        # elements > l occupy distinct positions after pos(l) in both
+        # docs, at most min(|A|-lpa, |B|-lpb) of them. So
+        # |A∩B| <= cnt + min(|A|-lpa, |B|-lpb); require >= minov.
+        # The per-row first-match filter stays (it prunes rows BEFORE the
+        # exchange) and cannot unsoundly shrink the aggregate: a dropped
+        # row's bound is monotone decreasing in position, so dropped
+        # codes all sit after the kept maximum in both docs and land in
+        # the suffix-capacity term. Verified output-identical by the
+        # oracle gate and tests.
+        minov_g = (F.lit(threshold / (1.0 + threshold))
+                   * (F.col("__sza") + F.col("__szb")) - F.lit(1e-9))
         cands = (
             a.join(b, "__code")
             .where(
@@ -506,17 +541,43 @@ def ngram_jaccard_pairs(
                 & (F.least("a.__sz", "b.__sz")
                    >= F.lit(threshold) * F.greatest("a.__sz", "b.__sz")
                    - F.lit(1e-9))
-                & (F.lit(1) + F.least(F.col("a.__sz") - F.col("a.__pos"),
+                # first-occurrence positional bound, RELAXED by k-1=1 so
+                # both k-prefix witness rows survive pre-aggregation: the
+                # j-th smallest shared code has >= α-j intersection
+                # elements after it, so its row bound is >= minov-1, not
+                # minov (j=2). Relaxing only admits extra rows — the
+                # aggregate filters below stay sound.
+                & (F.lit(2) + F.least(F.col("a.__sz") - F.col("a.__pos"),
                                       F.col("b.__sz") - F.col("b.__pos"))
                    >= minov)
             )
-            .select(
+            .groupBy(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.col("a.__sz").alias("__sza"),
                 F.col("b.__sz").alias("__szb"),
             )
-            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.max("a.__pos").alias("__lpa"),
+                F.max("b.__pos").alias("__lpb"),
+            )
+            .where(
+                # (1) k-prefix count: >= 2 shared prefix codes (>= 1 when
+                #     the pair's minimum overlap itself is < 2 — tiny docs)
+                (F.col("__cnt")
+                 >= F.least(F.lit(2), F.ceil(minov_g)))
+                # (2) last-position bound: every shared code <= the last
+                #     counted one IS counted (positions are monotone in
+                #     code order, so it sits inside both prefixes and its
+                #     row passes the relaxed row filter); codes beyond it
+                #     fit in the shorter remaining suffix
+                & (F.col("__cnt")
+                   + F.least(F.col("__sza") - F.col("__lpa"),
+                             F.col("__szb") - F.col("__lpb"))
+                   >= minov_g)
+            )
+            .select("id_a", "id_b", "__sza", "__szb")
         )
         sets_df = shc.groupBy(id_col).agg(
             F.collect_list("__code").alias("__set"))
@@ -539,6 +600,9 @@ def ngram_jaccard_pairs(
         )
         return out
 
+    # sizes AFTER the df-cap: numerator and denominator must share the same
+    # shingle universe, or capped corpora silently underestimate jaccard
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "__sh")
@@ -811,6 +875,11 @@ def decontaminate(
     per-doc count, which groups on the already-partitioned id."""
     from ..functions.text import winnow_fingerprints
 
+    if min_hits < 1:
+        # min_hits=0 (or negative) would mark EVERY document contaminated,
+        # zero-hit docs included — a silent foot-gun (round-5 advice)
+        raise ValueError(
+            f"decontaminate: min_hits must be >= 1 (got {min_hits})")
     corpus_fp = winnow_fingerprints(docs, text_col, id_col, k, window)
     bench_fp = (
         winnow_fingerprints(benchmark, bench_text_col, bench_id_col, k,

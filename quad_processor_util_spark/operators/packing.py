@@ -70,6 +70,13 @@ def _bucketed(df: DataFrame, id_col: str, seed: int,
             "packing: n_buckets must be a positive power of two "
             f"<= 2^{KEY_BITS} (got {n_buckets}) so buckets are exact "
             "key ranges")
+    clash = [c for c in df.columns if c.startswith("_pk_")]
+    if clash:
+        # silently overwriting (and later dropping) a caller's _pk_* column
+        # would corrupt ordering or eat data — fail loudly (round-5 advice)
+        raise ValueError(
+            f"packing: input columns {clash} collide with the _pk_* "
+            f"internal namespace — rename them before calling")
     bits = n_buckets.bit_length() - 1
     key = seeded_key(F.col(id_col), seed)
     # high bits => bucket order == key order (range bucketing without the

@@ -143,6 +143,12 @@ def group_quota(
     w = Window.partitionBy(group_col).orderBy(*order)
     rk = F.row_number().over(w)
     name = rank_col or "__gq_rank"
+    if rank_col is None and name in df.columns:
+        # the internal temp name would silently replace (then drop) the
+        # caller's column of the same name (round-5 advice)
+        raise ValueError(
+            "group_quota: input already has a __gq_rank column — pass "
+            "rank_col to choose an explicit output name")
     out = df.withColumn(name, rk).where(F.col(name) <= quota)
     return out if rank_col else out.drop(name)
 

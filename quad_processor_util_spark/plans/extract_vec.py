@@ -122,7 +122,19 @@ def extract_batch(
     policy: str = "LONGEST_DOMINANT_RIGHT",
     emit_unknown: bool = False,
 ) -> pd.DataFrame:
-    """One Arrow batch of transcripts -> quad table (QUAD_FIELDS columns)."""
+    """One Arrow batch of transcripts -> quad table (QUAD_FIELDS columns).
+
+    Round 6: every emitted quad except the tool quad is a pure function of
+    the row's TEXT (relations, population/label and unknown-mention
+    placeholders are all text-local; only graph and the turn IRI are
+    row-dependent, and they slot in afterwards). So extraction runs once
+    per DISTINCT text (_text_templates) and rows expand their template via
+    numpy gathers (_assemble_from_templates). On template-heavy corpora
+    (the flagship events-derived transcripts have 16 distinct texts) the
+    regex/policy work collapses by orders of magnitude; on all-unique
+    corpora the work is identical to the old inline path plus O(total
+    quads) vectorized assembly. Output order and values are bit-identical
+    (tests/test_extract_vec.py vs the per-row oracle)."""
     n = len(pdf)
     if n == 0:
         return pd.DataFrame({f: pd.Series(dtype=object) for f in QUAD_FIELDS},
@@ -131,13 +143,39 @@ def extract_batch(
     if any(_SEP in t for t in texts):  # cannot join safely — exact fallback
         return _extract_batch_rows(pdf, gaz, policy, emit_unknown)
 
+    tid_of: dict[str, int] = {}
+    tids = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        v = tid_of.get(t)
+        if v is None:
+            v = len(tid_of)
+            tid_of[t] = v
+        tids[i] = v
+    templates = _text_templates(gaz, list(tid_of), policy, emit_unknown)
+    return _assemble_from_templates(pdf, tids, templates)
+
+
+def _text_templates(
+    gaz: Gazetteer,
+    texts: list[str],
+    policy: str,
+    emit_unknown: bool,
+):
+    """Per-text quad templates over a list of (distinct) texts.
+
+    Returns (t_tid, S, P, O, D, L, is_turn): parallel arrays of template
+    quads sorted by (tid, stage, seq) — i.e. each text's quads in the exact
+    per-row oracle emission order. `is_turn` marks unknown-mention
+    placeholder quads whose subject is the row's turn IRI (filled in by
+    the assembler); their S slot holds None."""
+    n = len(texts)
+
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
     row_start = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=row_start[1:])
     row_text_end = row_start + lens
     mega = _SEP.join(texts)
 
-    graphs = ("http://example.org/conv/" + pdf["conv_id"].astype(str)).tolist()
     s2i = gaz.surface_to_iri
 
     # ---- mention detection (batched) ------------------------------------
@@ -200,8 +238,8 @@ def extract_batch(
     m_iri = [s2i[s] for s in m_surf]
     nm = len(m_surf)
 
-    # quad accumulator: (row, stage, seq, subject, predicate, obj,
-    #                    datatype, language)
+    # template accumulator: (tid, stage, seq, subject, predicate, obj,
+    #                        datatype, language, is_turn)
     q_row: list[int] = []
     q_stage: list[int] = []
     q_seq: list[int] = []
@@ -210,11 +248,12 @@ def extract_batch(
     q_o: list = []
     q_d: list = []
     q_l: list = []
+    q_turn: list[bool] = []
 
-    def emit(row, stage, seq, s, p, o, d, lang):
+    def emit(row, stage, seq, s, p, o, d, lang, is_turn=False):
         q_row.append(row); q_stage.append(stage); q_seq.append(seq)
         q_s.append(s); q_p.append(p); q_o.append(o); q_d.append(d)
-        q_l.append(lang)
+        q_l.append(lang); q_turn.append(is_turn)
 
     # ---- relations: adjacent mention pairs within a row -------------------
     if nm > 1:
@@ -268,7 +307,6 @@ def extract_batch(
             for r0 in np.unique(m_row):
                 lo, hi = row_first[r0], row_last[r0]
                 cummax_end[lo:hi] = np.maximum.accumulate(m_end[lo:hi])
-        turn_idx = pdf["turn_idx"].to_numpy()
         seen: set[tuple[int, str]] = set()
         seq = 0
         for um in _CAP_RUN_RE.finditer(mega):
@@ -287,39 +325,111 @@ def extract_batch(
             if (r, surface) in seen:
                 continue
             seen.add((r, surface))
-            turn_iri = f"{graphs[r]}/turn/{turn_idx[r]}"
-            emit(r, 3, seq, turn_iri, _SURF_PRED, surface, XSD_STRING, None)
+            # subject = the row's turn IRI — row-dependent, filled by the
+            # assembler (is_turn marks the slot)
+            emit(r, 3, seq, None, _SURF_PRED, surface, XSD_STRING, None,
+                 is_turn=True)
             seq += 1
 
-    # ---- tool quads ---------------------------------------------------------
+    # ---- flatten in per-text oracle order -----------------------------------
+    if not q_row:
+        empty = np.empty(0, dtype=object)
+        return (np.empty(0, dtype=np.int64), empty, empty, empty, empty,
+                empty, np.empty(0, dtype=bool))
+    order = np.lexsort(
+        (np.asarray(q_seq), np.asarray(q_stage), np.asarray(q_row)))
+    t_tid = np.asarray(q_row, dtype=np.int64)[order]
+
+    def _gather(lst: list) -> np.ndarray:
+        a = np.empty(len(lst), dtype=object)
+        a[:] = lst
+        return a[order]
+
+    return (t_tid, _gather(q_s), _gather(q_p), _gather(q_o), _gather(q_d),
+            _gather(q_l), np.asarray(q_turn, dtype=bool)[order])
+
+
+def _assemble_from_templates(
+    pdf: pd.DataFrame,
+    tids: np.ndarray,
+    templates,
+) -> pd.DataFrame:
+    """Expand per-text templates to per-row quads (graph / turn-IRI fill,
+    plus the row-dependent tool quads), in the per-row oracle order."""
+    n = len(pdf)
+    t_tid, S, P, O, D, L, is_turn = templates
+    m = int(tids.max()) + 1 if n else 0
+
+    graphs = ("http://example.org/conv/" + pdf["conv_id"].astype(str))
+    graphs_np = graphs.to_numpy(dtype=object)
+
+    # tool quads (row-dependent; rare — role == 'tool' rows only)
     roles = pdf["role"].to_numpy()
     tools = pdf["tool"].to_numpy()
-    turn_idx_all = pdf["turn_idx"].to_numpy()
-    tool_rows = np.nonzero(roles == "tool")[0]
-    for r in tool_rows:
-        t = tools[r]
-        if isinstance(t, str) and t:
-            emit(int(r), 4, 0,
-                 f"{graphs[r]}/turn/{turn_idx_all[r]}", _TOOL_PRED, t,
-                 XSD_STRING, None)
+    tool_rows = [r for r in np.nonzero(roles == "tool")[0]
+                 if isinstance(tools[r], str) and tools[r]]
 
-    # ---- assemble in per-row oracle order -----------------------------------
-    if not q_row:
+    need_turn = bool(is_turn.any()) or bool(tool_rows)
+    if need_turn:
+        turn_iri_np = (
+            graphs + "/turn/" + pdf["turn_idx"].astype(str)
+        ).to_numpy(dtype=object)
+
+    # expand template slices row-major: row i contributes the contiguous
+    # template block of its tid (templates are sorted by tid)
+    tcounts = np.bincount(t_tid, minlength=m) if m else np.empty(0, np.int64)
+    toff = np.zeros(m, dtype=np.int64)
+    if m > 1:
+        np.cumsum(tcounts[:-1], out=toff[1:])
+    counts = tcounts[tids]
+    total = int(counts.sum())
+    if total:
+        row_of_quad = np.repeat(np.arange(n), counts)
+        csum = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=csum[1:])
+        idx = toff[tids].repeat(counts) + np.arange(total) - csum.repeat(counts)
+        subj = S[idx]
+        turn_mask = is_turn[idx]
+        if turn_mask.any():
+            subj[turn_mask] = turn_iri_np[row_of_quad[turn_mask]]
+        cols = {
+            "subject": subj,
+            "predicate": P[idx],
+            "obj": O[idx],
+            "datatype": D[idx],
+            "language": L[idx],
+            "graph": graphs_np[row_of_quad],
+        }
+    else:
+        row_of_quad = np.empty(0, dtype=np.int64)
+        e = np.empty(0, dtype=object)
+        cols = {"subject": e, "predicate": e, "obj": e, "datatype": e,
+                "language": e, "graph": e}
+
+    if tool_rows:
+        tr = np.asarray(tool_rows, dtype=np.int64)
+        t_cols = {
+            "subject": turn_iri_np[tr],
+            "predicate": np.full(len(tr), _TOOL_PRED, dtype=object),
+            "obj": np.array([tools[r] for r in tool_rows], dtype=object),
+            "datatype": np.full(len(tr), XSD_STRING, dtype=object),
+            "language": np.full(len(tr), None, dtype=object),
+            "graph": graphs_np[tr],
+        }
+        # merge: template quads (stages 1-3) precede the tool quad (stage 4)
+        # within a row; np.lexsort is stable, preserving template order
+        rows_all = np.concatenate([row_of_quad, tr])
+        flag = np.concatenate([
+            np.zeros(total, dtype=np.int8), np.ones(len(tr), dtype=np.int8)])
+        order = np.lexsort((flag, rows_all))
+        cols = {k: np.concatenate([cols[k], t_cols[k]])[order] for k in cols}
+        total += len(tr)
+
+    if not total:
         return pd.DataFrame({f: pd.Series(dtype=object) for f in QUAD_FIELDS},
                             columns=QUAD_FIELDS)
-    order = np.lexsort((np.asarray(q_seq), np.asarray(q_stage), np.asarray(q_row)))
-    return pd.DataFrame(
-        {
-            "subject": [q_s[i] for i in order],
-            "predicate": [q_p[i] for i in order],
-            "obj": [q_o[i] for i in order],
-            "datatype": [q_d[i] for i in order],
-            "language": [q_l[i] for i in order],
-            "graph": [graphs[q_row[i]] for i in order],
-            "dataset": [None] * len(order),
-        },
-        columns=QUAD_FIELDS,
-    )
+    cols["dataset"] = np.full(total, None, dtype=object)
+    return pd.DataFrame(cols, columns=QUAD_FIELDS)
 
 
 def _extract_batch_rows(

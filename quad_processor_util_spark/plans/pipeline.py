@@ -145,6 +145,15 @@ def extract_quads(
     spark = transcripts.sparkSession
     bc = broadcast_gazetteer(spark, surface_to_iri)
     src = transcripts if assume_bucketed else stable_order(transcripts)
+    # project to the 5 columns the closure reads BEFORE the opaque
+    # mapInPandas: Spark cannot see which columns the Python function
+    # touches and would otherwise ship (and Arrow-convert) everything —
+    # notably `ts`, whose timestamp→pandas conversion is the costliest
+    # per-column transfer and which extraction never reads (guide §4.1).
+    # A narrow projection preserves the stable_order partitioning.
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    if all(c in src.columns for c in cols):
+        src = src.select(*cols)
     return src.mapInPandas(
         make_extract_fn(bc, policy, emit_unknown), QUAD_SCHEMA
     )

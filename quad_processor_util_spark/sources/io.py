@@ -207,8 +207,12 @@ def compact_table(
     # writes no file for an empty task, so with fewer rows than n_out the
     # prediction overstates the layout (round-5 review finding). Patch the
     # just-written sidecar — same driver-local commit, one more field.
-    n_actual = len([f for f in os.listdir(out_path)
-                    if f.endswith(".parquet")])
+    # same recursive walk as files_before: a nested output layout (e.g. a
+    # future partition_by here) must not read files_after as 0 and commit
+    # wrong sidecar metadata (round-5 advice)
+    n_actual = len([
+        f for dp, _, fs in os.walk(out_path)
+        for f in fs if f.endswith(".parquet")])
     sidecar_path = os.path.join(out_path, "_table_meta.json")
     with open(sidecar_path) as f:
         sidecar = json.load(f)

@@ -172,3 +172,24 @@ def test_empty_gazetteer():
     pdf = _frame(["Some Text here", "more"], roles=["tool", "user"],
                  tools=["sql_runner", None])
     _check_parity(pdf, g, emit_unknown=True)
+
+
+@pytest.mark.parametrize("policy", ["LONGEST_DOMINANT_RIGHT", "ALL", "NO_SUB"])
+@pytest.mark.parametrize("emit_unknown", [False, True])
+def test_template_memo_repeated_texts_parity(gaz, policy, emit_unknown):
+    """Round-6 template path: heavy text repetition (the flagship shape —
+    few distinct texts across many rows) must expand per-row quads
+    bit-identically, including row-dependent turn IRIs (unknown
+    placeholders), graphs, and interleaved tool quads."""
+    base = [
+        "Ada Lovelace works at Turing Institute.",
+        "Unknown Capitalized Run and Another Unknown thing.",
+        "London has population 9000000. Cambridge has population 123456.",
+        'Grace Hopper is known as "The Grace"@en.',
+        "no mentions here",
+    ]
+    texts = [base[i % len(base)] for i in range(137)]
+    roles = ["tool" if i % 7 == 3 else "user" for i in range(len(texts))]
+    tools = ["calc" if i % 7 == 3 else None for i in range(len(texts))]
+    pdf = _frame(texts, roles, tools)
+    _check_parity(pdf, gaz, policy, emit_unknown)

@@ -79,3 +79,28 @@ def test_winnow_fast_path_rejects_oversized_docs(spark):
         [(1, "y" * ((1 << 20) + 6))], "doc_id long, text string")
     with pytest.raises(Exception, match="chunk it upstream"):
         winnow_fingerprints(big).collect()
+
+
+def test_packing_rejects_pk_namespace_collision(spark):
+    from quad_processor_util_spark.operators.packing import shuffle_rank
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, _pk_key long")
+    with pytest.raises(ValueError, match="_pk_"):
+        shuffle_rank(df)
+
+
+def test_decontaminate_rejects_min_hits_zero(spark):
+    from quad_processor_util_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_hits"):
+        decontaminate(docs, docs, min_hits=0)
+
+
+def test_group_quota_rejects_internal_rank_collision(spark):
+    from quad_processor_util_spark.operators.sampling import group_quota
+
+    df = spark.createDataFrame(
+        [(1, "g", 3)], "doc_id long, grp string, __gq_rank long")
+    with pytest.raises(ValueError, match="__gq_rank"):
+        group_quota(df, group_col="grp", quota=1)
