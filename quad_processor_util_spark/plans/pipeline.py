@@ -198,16 +198,22 @@ def canonicalize(
     SolrLoader.scala:124-127). For head-entity-skewed mapping tables swap the
     broadcast for operators.joins.salted_join."""
     m = F.broadcast(mapping)
-    ex = F.broadcast(
-        excluded.select(F.col("iri")).distinct().withColumn("__x", F.lit(True))
+    # Exclusion parity with oracle.canonicalize_quads: drop when the
+    # ORIGINAL or the canonical form is excluded; object exclusion applies
+    # only to URI objects (datatype IS NULL). Round 6: `orig ∈ EX ∨
+    # coalesce(m[orig], orig) ∈ EX` is a pure function of the ORIGINAL iri,
+    # so precompute bad = EX ∪ {node : m[node] ∈ EX} (a join of the two
+    # broadcast-sized dims, still broadcast-sized) and flag each column
+    # with ONE join instead of two — 6 broadcast joins over the corpus
+    # become 4 (guide §2.4); predicate equivalence: __xs0 ∨ __xs1 ⟺
+    # bad(subject), __xo0 ∨ __xo1 ⟺ bad(obj).
+    exd = excluded.select(F.col("iri")).distinct()
+    bad = F.broadcast(
+        exd.union(
+            mapping.join(exd, mapping["canonical"] == exd["iri"])
+            .select(mapping["node"].alias("iri"))
+        ).distinct().withColumn("__x", F.lit(True))
     )
-
-    def _flag(df: DataFrame, col: str, flag: str) -> DataFrame:
-        return df.join(
-            ex.select(F.col("iri").alias(col), F.col("__x").alias(flag)),
-            col, "left",
-        )
-
     out = (
         quads.join(
             m.select(F.col("node").alias("subject"), F.col("canonical").alias("__cs")),
@@ -215,28 +221,20 @@ def canonicalize(
         .join(
             m.select(F.col("node").alias("obj"), F.col("canonical").alias("__co")),
             "obj", "left")
+        .join(bad.select(F.col("iri").alias("subject"),
+                         F.col("__x").alias("__xs")), "subject", "left")
+        .join(bad.select(F.col("iri").alias("obj"),
+                         F.col("__x").alias("__xo")), "obj", "left")
+        .where(
+            F.col("__xs").isNull()
+            & (F.col("datatype").isNotNull() | F.col("__xo").isNull())
+        )
         .select(
-            F.col("subject").alias("__os"),
             F.coalesce("__cs", "subject").alias("subject"),
             "predicate",
-            F.col("obj").alias("__oo"),
             F.when(F.col("datatype").isNull(), F.coalesce("__co", "obj"))
             .otherwise(F.col("obj")).alias("obj"),
             "datatype", "language", "graph", "dataset",
-        )
-    )
-    # exclusion parity with oracle.canonicalize_quads: drop when the ORIGINAL
-    # or the canonical subject is excluded; object exclusion applies only to
-    # URI objects (datatype IS NULL), again on original or canonical form
-    out = _flag(out, "__os", "__xs0")
-    out = _flag(out, "subject", "__xs1")
-    out = _flag(out, "__oo", "__xo0")
-    out = _flag(out, "obj", "__xo1")
-    out = out.where(
-        F.col("__xs0").isNull() & F.col("__xs1").isNull()
-        & (
-            F.col("datatype").isNotNull()
-            | (F.col("__xo0").isNull() & F.col("__xo1").isNull())
         )
     )
     return out.select(*QUAD_FIELDS)
