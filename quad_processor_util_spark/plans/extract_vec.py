@@ -432,6 +432,135 @@ def _assemble_from_templates(
     return pd.DataFrame(cols, columns=QUAD_FIELDS)
 
 
+def extract_batch_arrow(rb, gaz: Gazetteer, policy: str = "LONGEST_DOMINANT_RIGHT",
+                        emit_unknown: bool = False):
+    """One Arrow RecordBatch of transcripts -> Arrow RecordBatch of quads.
+
+    The mapInArrow face of :func:`extract_batch` (round 6): the pandas
+    route boxes every conv_id/role/text cell into a Python string just to
+    tear it apart again — at 10M flagship turns that boxing was most of
+    the extraction stage. Here only the DISTINCT texts
+    (``pc.dictionary_encode``, C-speed) ever become Python objects; the
+    per-row expansion is pa.Array.take gathers over small per-template
+    arrays, and the graph / turn-IRI columns are built with
+    ``pc.binary_join_element_wise`` — no per-row Python anywhere. Output
+    values and order are bit-identical to :func:`extract_batch`
+    (tests/test_extract_vec.py parity suite)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = rb.num_rows
+    fields = ["subject", "predicate", "obj", "datatype", "language",
+              "graph", "dataset"]
+    if n == 0:
+        return None
+    enc = pc.dictionary_encode(rb.column("text"))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    utexts = enc.dictionary.to_pylist()
+    if any(t is not None and _SEP in t for t in utexts):
+        # exact fallback through the per-row oracle path
+        out = _extract_batch_rows(rb.to_pandas(), gaz, policy, emit_unknown)
+        if not len(out):
+            return None
+        return pa.RecordBatch.from_pandas(
+            out, schema=pa.schema([(f, pa.string()) for f in fields]),
+            preserve_index=False)
+    # NULL text rows -> the "" template (extract_batch's fillna(""))
+    null_tid = None
+    if enc.indices.null_count:
+        try:
+            null_tid = utexts.index("")
+        except ValueError:
+            null_tid = len(utexts)
+            utexts.append("")
+        tids = enc.indices.fill_null(null_tid).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    else:
+        tids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # str() parity with extract_batch for a non-string text column is moot:
+    # Spark's schema types `text` as string; dictionary values are str/None
+    t_tid, S, P, O, D, L, is_turn = _text_templates(
+        gaz, [t if t is not None else "" for t in utexts], policy,
+        emit_unknown)
+    m = len(utexts)
+
+    # fill_null("None") = str() parity with the pandas path's astype(str)
+    conv = pc.cast(rb.column("conv_id"), pa.string()).fill_null("None")
+    graphs = pc.binary_join_element_wise(
+        pa.scalar("http://example.org/conv/"), conv, pa.scalar(""))
+
+    role = rb.column("role")
+    tool = rb.column("tool")
+    tool_mask = pc.fill_null(
+        pc.and_(pc.equal(role, pa.scalar("tool")),
+                pc.and_(tool.is_valid(), pc.not_equal(
+                    pc.cast(tool, pa.string()), pa.scalar("")))),
+        False)
+    tool_rows = np.nonzero(tool_mask.to_numpy(zero_copy_only=False))[0]
+
+    need_turn = bool(is_turn.any()) or len(tool_rows) > 0
+    if need_turn:
+        turn_iris = pc.binary_join_element_wise(
+            graphs, pa.scalar("/turn/"),
+            pc.cast(rb.column("turn_idx"), pa.string()), pa.scalar(""))
+
+    # per-template Arrow columns (small: one row per template quad)
+    tS = pa.array(S.tolist(), pa.string())
+    tP = pa.array(P.tolist(), pa.string())
+    tO = pa.array(O.tolist(), pa.string())
+    tD = pa.array(D.tolist(), pa.string())
+    tL = pa.array(L.tolist(), pa.string())
+
+    tcounts = np.bincount(t_tid, minlength=m) if m else np.empty(0, np.int64)
+    toff = np.zeros(m, dtype=np.int64)
+    if m > 1:
+        np.cumsum(tcounts[:-1], out=toff[1:])
+    counts = tcounts[tids]
+    total = int(counts.sum())
+    if total:
+        row_of_quad = np.repeat(np.arange(n), counts)
+        csum = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=csum[1:])
+        idx = toff[tids].repeat(counts) + np.arange(total) - csum.repeat(counts)
+        pidx = pa.array(idx)
+        prow = pa.array(row_of_quad)
+        subj = tS.take(pidx)
+        turn_mask = is_turn[idx]
+        if turn_mask.any():
+            subj = pc.if_else(pa.array(turn_mask), turn_iris.take(prow), subj)
+        cols = [subj, tP.take(pidx), tO.take(pidx), tD.take(pidx),
+                tL.take(pidx), graphs.take(prow)]
+    else:
+        row_of_quad = np.empty(0, dtype=np.int64)
+        e = pa.array([], pa.string())
+        cols = [e, e, e, e, e, e]
+
+    if len(tool_rows):
+        tr = pa.array(tool_rows)
+        t_cols = [turn_iris.take(tr),
+                  pa.array([_TOOL_PRED] * len(tool_rows), pa.string()),
+                  pc.cast(tool, pa.string()).take(tr),
+                  pa.array([XSD_STRING] * len(tool_rows), pa.string()),
+                  pa.nulls(len(tool_rows), pa.string()),
+                  graphs.take(tr)]
+        rows_all = np.concatenate([row_of_quad, tool_rows])
+        flag = np.concatenate([
+            np.zeros(total, dtype=np.int8),
+            np.ones(len(tool_rows), dtype=np.int8)])
+        order = pa.array(np.lexsort((flag, rows_all)))
+        cols = [pa.concat_arrays([a.combine_chunks() if hasattr(a, "combine_chunks") else a, b])
+                .take(order) for a, b in zip(cols, t_cols)]
+        total += len(tool_rows)
+
+    if not total:
+        return None
+    cols.append(pa.nulls(total, pa.string()))
+    return pa.RecordBatch.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in cols], fields)
+
+
 def _extract_batch_rows(
     pdf: pd.DataFrame,
     gaz: Gazetteer,

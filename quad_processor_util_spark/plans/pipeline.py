@@ -154,7 +154,7 @@ def extract_quads(
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
     if all(c in src.columns for c in cols):
         src = src.select(*cols)
-    return src.mapInPandas(
+    return src.mapInArrow(
         make_extract_fn(bc, policy, emit_unknown), QUAD_SCHEMA
     )
 
@@ -168,11 +168,14 @@ def make_extract_fn(bc, policy: str = "LONGEST_DOMINANT_RIGHT",
     linking stage (link_unknown_mentions).
 
     The closure is BATCH-vectorized (plans/extract_vec.py): one gazetteer
-    regex scan per Arrow batch over a joined mega-string, numpy offset
-    mapping, per-row Python only where mentions genuinely overlap —
+    regex scan per DISTINCT text in the Arrow batch over a joined
+    mega-string, numpy offset mapping, per-row Python only where mentions
+    genuinely overlap. Round 6: the closure is a mapInArrow function
+    (extract_batch_arrow) — only dictionary-encoded distinct texts ever
+    become Python objects; per-row expansion is C-speed Arrow takes —
     semantics verified identical to the per-row oracle in
     tests/test_extract_vec.py."""
-    from .extract_vec import extract_batch
+    from .extract_vec import extract_batch_arrow
 
     # fail FAST on the driver: a typo'd policy must not surface as a task
     # failure hours into a run whose early batches had no mentions — and
@@ -181,10 +184,12 @@ def make_extract_fn(bc, policy: str = "LONGEST_DOMINANT_RIGHT",
     if policy not in ("ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"):
         raise ValueError(f"unknown overlap policy: {policy!r}")
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _extract(batches):
         gaz = _get_gazetteer(bc)
-        for pdf in batches:
-            yield extract_batch(pdf, gaz, policy, emit_unknown)
+        for rb in batches:
+            out = extract_batch_arrow(rb, gaz, policy, emit_unknown)
+            if out is not None:
+                yield out
 
     return _extract
 

@@ -35,17 +35,18 @@ def streaming_extract(
     policy: str = "LONGEST_DOMINANT_RIGHT",
     emit_unknown: bool = False,
 ) -> DataFrame:
-    """Extraction over the stream — same mapInPandas as batch, with the
-    same policy/emit_unknown options forwarded (batch↔stream parity is the
-    contract). Stable intra-conversation ordering is not meaningful on an
-    unbounded stream and extraction is per-turn, so the batch path's
-    stable_order repartition+sort (forbidden on streams anyway) is skipped
-    without changing semantics."""
+    """Extraction over the stream — same Arrow-batch closure as batch
+    (mapInArrow since round 6), with the same policy/emit_unknown options
+    forwarded (batch↔stream parity is the contract). Stable
+    intra-conversation ordering is not meaningful on an unbounded stream
+    and extraction is per-turn, so the batch path's stable_order
+    repartition+sort (forbidden on streams anyway) is skipped without
+    changing semantics."""
     from ..functions.nt import QUAD_SCHEMA
     from ..plans.pipeline import broadcast_gazetteer, make_extract_fn
 
     bc = broadcast_gazetteer(stream.sparkSession, surface_to_iri)
-    return stream.mapInPandas(
+    return stream.mapInArrow(
         make_extract_fn(bc, policy, emit_unknown), QUAD_SCHEMA
     )
 

@@ -193,3 +193,72 @@ def test_template_memo_repeated_texts_parity(gaz, policy, emit_unknown):
     tools = ["calc" if i % 7 == 3 else None for i in range(len(texts))]
     pdf = _frame(texts, roles, tools)
     _check_parity(pdf, gaz, policy, emit_unknown)
+
+
+def _check_arrow_parity(pdf, gaz, policy="LONGEST_DOMINANT_RIGHT",
+                        emit_unknown=False):
+    import pyarrow as pa
+
+    from quad_processor_util_spark.plans.extract_vec import extract_batch_arrow
+
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
+    ])
+    rb = pa.RecordBatch.from_pandas(
+        pdf[["conv_id", "turn_idx", "role", "text", "tool"]],
+        schema=schema, preserve_index=False)
+    got_rb = extract_batch_arrow(rb, gaz, policy, emit_unknown)
+    exp = extract_batch(pdf, gaz, policy, emit_unknown)
+    if got_rb is None:
+        assert len(exp) == 0
+        return
+    got = got_rb.to_pandas()
+    assert got.columns.tolist() == exp.columns.tolist()
+    assert len(got) == len(exp), f"{len(got)} vs {len(exp)}"
+    for c in got.columns:
+        a = [None if pd.isna(x) else x for x in got[c].tolist()]
+        b = exp[c].tolist()
+        assert a == b, f"column {c}: first diff at " + str(
+            next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+        )
+
+
+@pytest.mark.parametrize("policy", ["LONGEST_DOMINANT_RIGHT", "ALL", "NO_SUB"])
+@pytest.mark.parametrize("emit_unknown", [False, True])
+def test_arrow_batch_parity(gaz, policy, emit_unknown):
+    """Round-6 mapInArrow face: extract_batch_arrow must be value- and
+    order-identical to extract_batch on adversarial texts with interleaved
+    tool rows and null texts."""
+    roles = ["tool" if i % 5 == 0 else "user"
+             for i in range(len(ADVERSARIAL_TEXTS))]
+    tools = ["search" if i % 5 == 0 else None
+             for i in range(len(ADVERSARIAL_TEXTS))]
+    pdf = _frame(ADVERSARIAL_TEXTS, roles, tools)
+    _check_arrow_parity(pdf, gaz, policy, emit_unknown)
+
+
+def test_arrow_batch_parity_repeated_and_nul(gaz):
+    base = ["Ada Lovelace works at Turing Institute.", None,
+            "Unknown Capitalized Run here.", ""]
+    texts = [base[i % len(base)] for i in range(97)]
+    pdf = _frame(texts)
+    _check_arrow_parity(pdf, gaz, emit_unknown=True)
+    # \x00 text takes the per-row fallback inside the arrow route too
+    pdf2 = _frame(["weird\x00byte Ada Lovelace", "Ada Lovelace works at Hopper Labs."])
+    _check_arrow_parity(pdf2, gaz)
+
+
+def test_arrow_batch_empty(gaz):
+    import pyarrow as pa
+
+    from quad_processor_util_spark.plans.extract_vec import extract_batch_arrow
+
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
+    ])
+    rb = pa.RecordBatch.from_pandas(
+        _frame([])[["conv_id", "turn_idx", "role", "text", "tool"]],
+        schema=schema, preserve_index=False)
+    assert extract_batch_arrow(rb, gaz) is None

@@ -37,18 +37,19 @@ def _transcripts(spark, n=400):
 
 
 def _counting_extract(spark, monkeypatch):
-    """Patch extract_batch so every row it sees bumps a Spark accumulator
-    (executor-side: counts actual Arrow-batch row touches, not plan nodes)."""
+    """Patch extract_batch_arrow (the mapInArrow closure since round 6) so
+    every row it sees bumps a Spark accumulator (executor-side: counts
+    actual Arrow-batch row touches, not plan nodes)."""
     import quad_processor_util_spark.plans.extract_vec as ev
 
     acc = spark.sparkContext.accumulator(0)
-    orig = ev.extract_batch
+    orig = ev.extract_batch_arrow
 
-    def counted(pdf, gaz, policy, emit_unknown):
-        acc.add(len(pdf))
-        return orig(pdf, gaz, policy, emit_unknown)
+    def counted(rb, gaz, policy, emit_unknown):
+        acc.add(rb.num_rows)
+        return orig(rb, gaz, policy, emit_unknown)
 
-    monkeypatch.setattr(ev, "extract_batch", counted)
+    monkeypatch.setattr(ev, "extract_batch_arrow", counted)
     return acc
 
 
