@@ -284,9 +284,10 @@ def minhash_signatures(
         id_col,
         F.pmod(_base_hash(F.col("__sh"), hash_kind), F.lit(_MERSENNE)).alias("__h"),
     )
-    h = F.col("__h")
+    # expr strings for the same reason as simhash_signatures: K Column
+    # chains cost ~6 py4j roundtrips each at construction
     aggs = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        F.expr(f"min(pmod(__h * {a}L + {b}L, {_MERSENNE}L))").alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -696,19 +697,30 @@ def simhash_signatures(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " "), " ")
         ).alias("__t"),
     ).select(id_col, _base_hash(F.col("__t"), hash_kind).alias("__h"))
-    h = F.col("__h")
+    # SQL expr strings, not Column-builder chains (round 6): the 64
+    # per-bit aggs plus the 64-term packing chain cost ~450 py4j
+    # roundtrips — 1.7 s of DRIVER time per construction, on a query whose
+    # executors finish in well under that. One expr string per agg and ONE
+    # for the packed sum are semantically identical (same shiftright/&/
+    # case-when plan) and construct in ~0.1 s.
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(case when (shiftright(__h, {i}) & 1) = 1 "
+            f"then 1 else -1 end)").alias(f"b{i}")
         for i in range(bits)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
-    packed = None
+    terms = []
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
+        if i < 63:
+            terms.append(
+                f"(case when b{i} > 0 then cast({1 << i} as bigint) "
+                f"else cast(0 as bigint) end)")
+        else:
+            terms.append(
+                f"(case when b{i} > 0 then cast({-(1 << 63)} as bigint) "
+                f"else cast(0 as bigint) end)")
+    packed = F.expr(" + ".join(terms))
     return sums.select(F.col(id_col), packed.alias("simhash"))
 
 
