@@ -143,7 +143,18 @@ def _winnow_selected(df, text_col: str, id_col: str, k: int, window: int,
 
         md5 = hashlib.md5
         base = span - 1
+        # per-TASK k-gram -> hash memo (round 6): corpora repeat k-grams
+        # heavily (boilerplate, templates, shared vocabulary), and the md5
+        # + digest-slice + from_bytes per gram is ~4x the cost of a dict
+        # hit. md5 itself is pinned by the frozen DuckDB oracle, so the
+        # only lever is calling it once per DISTINCT gram. Bounded: cleared
+        # past ~2M entries so a high-entropy 100 TB task cannot grow it
+        # without limit.
+        memo: dict = {}
+        memo_get = memo.get
         for pdf in batches:
+            if len(memo) > (1 << 21):
+                memo.clear()
             ids_out: list = []
             keys_chunks: list = []
             for i, t in zip(pdf[id_col], pdf["__t"]):
@@ -162,15 +173,23 @@ def _winnow_selected(df, text_col: str, id_col: str, k: int, window: int,
                 keys = np.empty(m, dtype=np.int64)
                 if len(b) == n:  # ASCII fast path: byte == char offsets
                     for p in range(m):
-                        h = (int.from_bytes(
-                            md5(b[p:p + k]).digest()[:8], "big") >> 4) \
-                            % 2147483647
+                        g = b[p:p + k]
+                        h = memo_get(g)
+                        if h is None:
+                            h = (int.from_bytes(
+                                md5(g).digest()[:8], "big") >> 4) \
+                                % 2147483647
+                            memo[g] = h
                         keys[p] = h * span + (base - (p + 1))
                 else:
                     for p in range(m):
-                        h = (int.from_bytes(
-                            md5(t[p:p + k].encode()).digest()[:8],
-                            "big") >> 4) % 2147483647
+                        g = t[p:p + k]
+                        h = memo_get(g)
+                        if h is None:
+                            h = (int.from_bytes(
+                                md5(g.encode()).digest()[:8],
+                                "big") >> 4) % 2147483647
+                            memo[g] = h
                         keys[p] = h * span + (base - (p + 1))
                 if m >= window:
                     sel = sliding_window_view(keys, window).min(axis=1)
