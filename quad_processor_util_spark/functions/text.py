@@ -1,5 +1,7 @@
-"""Text-analysis functions for the training-data pipeline — all pure
-Catalyst expressions (JVM-side, whole-stage codegen; no Python).
+"""Text-analysis functions for the training-data pipeline — pure Catalyst
+expressions (JVM-side, whole-stage codegen) except the winnow core, which
+since round 6 runs its per-document selection inside mapInPandas (C-md5 +
+numpy window-min; normalization stays Catalyst — see _winnow_selected).
 
 These extend the reference's string toolkit (utils/StringUtils.scala,
 utils/WikiUtil.scala) with the operations a 100 TB document pipeline needs:
@@ -153,11 +155,15 @@ def _winnow_selected(df, text_col: str, id_col: str, k: int, window: int,
         memo: dict = {}
         memo_get = memo.get
         for pdf in batches:
-            if len(memo) > (1 << 21):
-                memo.clear()
             ids_out: list = []
             keys_chunks: list = []
             for i, t in zip(pdf[id_col], pdf["__t"]):
+                # cap checked per DOCUMENT, not per batch: one batch of
+                # high-entropy 100KB+ docs could otherwise grow the memo
+                # by gigabytes before the next batch boundary (round-6
+                # review finding)
+                if len(memo) > (1 << 21):
+                    memo.clear()
                 if t is None:
                     # matches the expression form: a NULL text yields one
                     # (id, NULL[, NULL]) row (NULL hash all the way through)
@@ -477,8 +483,10 @@ def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
     from ..operators.dedup import _ensure_parallelism
 
     # a single-split scan would run the whole map-only expansion on one
-    # core (guide §2.5 input skew; no-op on a wide scan — round 6)
-    df = _ensure_parallelism(df)
+    # core (guide §2.5 input skew; no-op on a wide scan — round 6);
+    # project to the two consumed columns first so a wide table does not
+    # shuffle unused columns (round-6 review finding)
+    df = _ensure_parallelism(df.select(id_col, text_col))
     step = max_tokens - overlap
     toks = _words(F.col(text_col))
     n = F.size(toks)

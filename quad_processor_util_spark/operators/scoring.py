@@ -76,9 +76,13 @@ def unigram_logprob_score(
 
     # single-split scans would run BOTH tokenize+partial-agg passes on one
     # core (the explode feeds a map-side partial aggregate in the same
-    # task); re-spread first — no-op on a wide scan (round 6)
-    docs = _ensure_parallelism(docs)
-    fit = docs if fit_on is None else _ensure_parallelism(fit_on)
+    # task); re-spread first — no-op on a wide scan (round 6). Project to
+    # the two consumed columns BEFORE the repartition so a wide documents
+    # table does not shuffle its unused columns (round-6 review finding —
+    # matches _ensure_parallelism's documented (id, text) contract).
+    docs = _ensure_parallelism(docs.select(id_col, text_col))
+    fit = docs if fit_on is None else _ensure_parallelism(
+        fit_on.select(text_col))
     fit_toks = fit.select(_tokens(F.col(text_col)).alias("toks")) \
         .select(F.explode("toks").alias("tok"))
     vocab = fit_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")) \

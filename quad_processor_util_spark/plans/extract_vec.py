@@ -371,9 +371,11 @@ def _assemble_from_templates(
 
     need_turn = bool(is_turn.any()) or bool(tool_rows)
     if need_turn:
-        turn_iri_np = (
-            graphs + "/turn/" + pdf["turn_idx"].astype(str)
-        ).to_numpy(dtype=object)
+        # NULL turn_idx renders as 'None' (str(None) — the per-row oracle
+        # path's behavior), not pandas' dtype-dependent 'nan'/'<NA>'
+        t_idx = pdf["turn_idx"]
+        t_str = t_idx.astype(str).mask(t_idx.isna(), "None")
+        turn_iri_np = (graphs + "/turn/" + t_str).to_numpy(dtype=object)
 
     # expand template slices row-major: row i contributes the contiguous
     # template block of its tid (templates are sorted by tid)
@@ -501,9 +503,13 @@ def extract_batch_arrow(rb, gaz: Gazetteer, policy: str = "LONGEST_DOMINANT_RIGH
 
     need_turn = bool(is_turn.any()) or len(tool_rows) > 0
     if need_turn:
+        # fill_null("None") = str(None) parity with the per-row oracle
+        # path (a NULL turn_idx must not null the whole IRI — round-6
+        # review finding)
         turn_iris = pc.binary_join_element_wise(
             graphs, pa.scalar("/turn/"),
-            pc.cast(rb.column("turn_idx"), pa.string()), pa.scalar(""))
+            pc.cast(rb.column("turn_idx"), pa.string()).fill_null("None"),
+            pa.scalar(""))
 
     # per-template Arrow columns (small: one row per template quad)
     tS = pa.array(S.tolist(), pa.string())
@@ -576,8 +582,13 @@ def _extract_batch_rows(
     ):
         # str() matches the vectorized path's astype(str): a non-string
         # conv_id (int64 convs) must not crash only on the \x00-fallback
-        # route (round-4 review finding)
+        # route (round-4 review finding). NULL turn_idx renders 'None' on
+        # every path (NaN floats would otherwise print 'nan' here but
+        # 'None' in the template/arrow paths — round-6 review finding)
         graph = "http://example.org/conv/" + str(conv_id)
+        if turn_idx is None or (isinstance(turn_idx, float)
+                                and turn_idx != turn_idx):
+            turn_idx = "None"
         ms = apply_overlap_policy(gaz.find_all(text or ""), policy)
         for q in extract_triples_from_text(text or "", gaz, graph, policy,
                                            mentions=ms):

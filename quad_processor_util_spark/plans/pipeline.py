@@ -146,7 +146,7 @@ def extract_quads(
     bc = broadcast_gazetteer(spark, surface_to_iri)
     src = transcripts if assume_bucketed else stable_order(transcripts)
     # project to the 5 columns the closure reads BEFORE the opaque
-    # mapInPandas: Spark cannot see which columns the Python function
+    # mapInArrow: Spark cannot see which columns the Python function
     # touches and would otherwise ship (and Arrow-convert) everything —
     # notably `ts`, whose timestamp→pandas conversion is the costliest
     # per-column transfer and which extraction never reads (guide §4.1).

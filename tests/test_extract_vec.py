@@ -262,3 +262,34 @@ def test_arrow_batch_empty(gaz):
         _frame([])[["conv_id", "turn_idx", "role", "text", "tool"]],
         schema=schema, preserve_index=False)
     assert extract_batch_arrow(rb, gaz) is None
+
+
+def test_null_turn_idx_renders_none_on_all_paths(gaz):
+    """Round-6 review finding: NULL turn_idx must render '.../turn/None'
+    identically on the per-row, pandas-template, and arrow paths (floats
+    NaN used to print 'nan' on some, NULL the subject on arrow)."""
+    import pyarrow as pa
+
+    from quad_processor_util_spark.plans.extract_vec import extract_batch_arrow
+
+    pdf = _frame(["Unknown Capitalized Run here.", "Boston"],
+                 roles=["tool", "user"], tools=["calc", None])
+    pdf["turn_idx"] = pd.array([None, 3], dtype="Int64")
+    exp = _extract_batch_rows(
+        pdf.assign(turn_idx=pdf["turn_idx"].astype(object)
+                   .where(pdf["turn_idx"].notna(), None)),
+        gaz, "LONGEST_DOMINANT_RIGHT", True)
+    assert any(s.endswith("/turn/None") for s in exp["subject"])
+    got_pd = extract_batch(
+        pdf.assign(turn_idx=pdf["turn_idx"].astype("float64")), gaz,
+        emit_unknown=True)
+    assert got_pd["subject"].tolist() == exp["subject"].tolist()
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+        ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
+    ])
+    rb = pa.RecordBatch.from_pandas(
+        pdf[["conv_id", "turn_idx", "role", "text", "tool"]],
+        schema=schema, preserve_index=False)
+    got_ar = extract_batch_arrow(rb, gaz, "LONGEST_DOMINANT_RIGHT", True)
+    assert got_ar.to_pandas()["subject"].tolist() == exp["subject"].tolist()
